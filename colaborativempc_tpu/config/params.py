@@ -1,0 +1,136 @@
+"""Typed configuration for the collaborative-MPC framework.
+
+One typed config system replacing the reference's scattered Python-dict
+settings modules (``planner/scripts/config_files/config_LPV.py``,
+``config_NL.py``), hard-coded planner defaults (``LPV_Planner.py:34-72``,
+``base_nl.py:22-61``) and the "SCALED CAR" model database
+(``config/base_class.py:19-41``). Everything that enters jitted code is a
+NamedTuple of scalars/arrays (a pytree); shapes (N, n_agents, ...) stay static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class ModelParams(NamedTuple):
+    """Bicycle-model physical parameters (reference base_class.py:20-28)."""
+    lf: float = 0.125   # CoG -> front axle [m]
+    lr: float = 0.125   # CoG -> rear axle [m]
+    m: float = 1.98     # mass [kg]
+    I: float = 0.09     # yaw inertia [kg m^2]
+    Cf: float = 70.0    # front cornering stiffness [N/rad]
+    Cr: float = 70.0    # rear cornering stiffness [N/rad]
+    mu: float = 0.05    # rolling/viscous friction coefficient
+
+
+class SysLimits(NamedTuple):
+    """Actuator / velocity / safety limits (reference base_class.py:30-41)."""
+    vx_ref: float = 3.0    # tracked longitudinal speed [m/s]
+    min_dist: float = 0.25  # inter-vehicle safety distance [m]
+    max_vel: float = 5.5
+    min_vel: float = 0.0
+    max_rs: float = 0.3    # max right steering [rad]
+    max_ls: float = 0.3    # max left steering [rad]
+    max_ac: float = 5.0    # max acceleration [m/s^2]
+    max_dc: float = 10.0   # max deceleration [m/s^2]
+    sm: float = 0.9        # lane half-width shrink factor
+
+
+class Gains(NamedTuple):
+    """MPC weights. Diagonals only, as in the reference configs.
+
+    q: (9,) state weights; qs: (3,) slack weights (model, control, obstacle);
+    r: (2,) input weights; dr: (2,) input-rate weights; wq: separation-reward
+    weight (reference config_LPV.py:6-11, config_NL.py:5-10).
+    """
+    q: jnp.ndarray
+    qs: jnp.ndarray
+    r: jnp.ndarray
+    dr: jnp.ndarray
+    wq: float = 5.0
+
+
+def lpv_gains() -> Gains:
+    """Reference LPV experiment gains (config_files/config_LPV.py:5-11)."""
+    return Gains(
+        q=jnp.array([10.0, 0.0, 0.0, 25.0, 10.0, 0.0, 0.0, 0.0, 0.0]),
+        qs=jnp.array([1e7, 1e7, 1e7]),
+        r=jnp.array([0.0, 0.0]),
+        dr=jnp.array([50.0, 50.0]),
+        wq=5.0,
+    )
+
+
+def nl_gains() -> Gains:
+    """Reference NL experiment gains (config_files/config_NL.py:5-10)."""
+    return Gains(
+        q=jnp.array([25.0, 0.0, 0.0, 200.0, 10.0, 0.0, 0.0, 0.0, 0.0]),
+        qs=jnp.array([1e7, 1e7, 1e7]),
+        r=jnp.array([15.0, 15.0]),
+        dr=jnp.array([600.0, 200.0]),
+        wq=5.0,
+    )
+
+
+class OCDConfig(NamedTuple):
+    """Dual-coordination knobs (reference config_NL.py:29-33, NL/config.py:5-8)."""
+    alpha: float = 0.25     # dual ascent step
+    it_conv: int = 2        # consecutive converged iterations required
+    max_it_ocd: int = 50    # iteration cap (divergence guard)
+    min_it_ocd: int = 2     # forced minimum iterations
+    atol: float = 0.01      # trajectory-change convergence tolerance
+
+
+class SolverConfig(NamedTuple):
+    """On-device QP/SQP engine knobs (no reference equivalent: replaces
+    OSQP/IPOPT option dicts, LPV_Planner.py:233, NL_Planner_Eu.py:172-175)."""
+    admm_iters: int = 60        # fixed ADMM iterations per QP solve
+    rho: float = 10.0           # ADMM penalty
+    alpha_relax: float = 1.6    # ADMM over-relaxation
+    sqp_iters: int = 3          # SQP outer iterations (1 = RTI mode)
+    line_search: float = 1.0    # SQP step blending (1 = full step)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    """Host-side experiment description (static under jit).
+
+    Mirrors the reference settings dicts (config_files/config_*.py) plus
+    solver configuration.
+    """
+    n_agents: int = 3
+    N: int = 20                  # prediction horizon
+    dt: float = 0.02
+    max_it: int = 1000           # outer control-step cap
+    map_type: str = "Highway"
+    model: ModelParams = ModelParams()
+    limits: SysLimits = SysLimits()
+    gains: Optional[Gains] = None
+    ocd: OCDConfig = OCDConfig()
+    solver: SolverConfig = SolverConfig()
+    save_data: bool = False
+    plot: int = 0
+    verb: int = 0
+    path: str = "data/experiment"
+    laps: int = 1
+    dtype: str = "float32"
+
+
+# Canonical initial states for up to 4 agents
+# (reference plan_lib/config/__init__.py:3-8). Layout:
+# [vx, vy, wz, ey, epsi, theta, s, x, y]
+X0_DATABASE: Tuple[Tuple[float, ...], ...] = (
+    (1.3, -0.16, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0),
+    (1.3, -0.16, 0.0, -0.25, 0.0, 0.0, 0.0, 0.0, 1.0),
+    (1.3, -0.16, 0.0, 0.45, 0.0, 0.0, 0.0, 0.0, 1.45),
+    (1.3, -0.16, 0.0, 0.25, 0.0, 0.0, 0.25, 0.0, 1.5),
+)
+
+
+def x0_database(n_agents: int) -> np.ndarray:
+    return np.asarray(X0_DATABASE[:n_agents], dtype=np.float64)

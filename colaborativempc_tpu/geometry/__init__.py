@@ -1,0 +1,9 @@
+from colaborativempc_tpu.geometry.tracks import Track, make_track, TRACK_NAMES
+from colaborativempc_tpu.geometry.frenet import (
+    wrap_s, check_lap, segment_index, curvature, halfwidth,
+    frenet_to_cartesian, cartesian_to_frenet, check_lane, check_end,
+    wrap_to_pi,
+)
+from colaborativempc_tpu.geometry.planes import (
+    compute_hyperplanes, plane_signed_distance, separation_weights,
+)
