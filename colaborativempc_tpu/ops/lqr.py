@@ -1,0 +1,126 @@
+"""Stage-structured equality-constrained QP (LQR) solves via Riccati scans.
+
+This is the factorisation kernel of the on-device QP engine — the TPU-native
+equivalent of the sparse direct solvers the reference calls out to (OSQP's
+KKT factorisation, ``LPV_Planner.py:222-239``; HPIPM's Riccati-structured
+OCP-QP solver, ``MPCC-master/C++/Interfaces/hpipm_interface.cpp``). Instead
+of one big sparse matrix, the banded KKT system is solved by a backward
+Riccati recursion + forward rollout, expressed as ``lax.scan`` over stages so
+XLA compiles it into one fused loop; everything is batchable with ``vmap``
+over agents/scenarios.
+
+Key structure exploited by the ADMM driver (ops/admm.py): the quadratic
+terms (F, G, Q, R, S) are fixed across ADMM iterations, so the expensive
+backward pass that forms the gains ``K_k`` and Cholesky factors of ``Quu`` is
+computed ONCE per MPC solve (``lqr_factorize``), and each ADMM iteration only
+runs the cheap affine backward/forward passes (``lqr_affine_solve``) with new
+linear terms — mirroring how OSQP factorises its KKT matrix once and reuses
+it every iteration.
+
+Problem (z = state, c = control, both augmented by the caller):
+
+    min  sum_k 1/2 z_k'Q_k z_k + q_k'z_k + 1/2 c_k'R_k c_k + r_k'c_k
+              + z_k'S_k c_k                      (k = 0..N-1, + terminal N)
+    s.t. z_{k+1} = F_k z_k + G_k c_k + d_k,  z_0 given.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LQRCost(NamedTuple):
+    """Stagewise quadratic cost. Q/q have N+1 entries (terminal included)."""
+    Q: jnp.ndarray   # (N+1, nz, nz)
+    q: jnp.ndarray   # (N+1, nz)
+    R: jnp.ndarray   # (N, nc, nc)
+    r: jnp.ndarray   # (N, nc)
+    S: jnp.ndarray   # (N, nz, nc) cross term
+
+
+class LQRDynamics(NamedTuple):
+    F: jnp.ndarray   # (N, nz, nz)
+    G: jnp.ndarray   # (N, nz, nc)
+    d: jnp.ndarray   # (N, nz)
+
+
+class LQRFactors(NamedTuple):
+    """Output of the quadratic backward pass, reused across affine solves."""
+    K: jnp.ndarray         # (N, nc, nz) feedback gains
+    Quu_chol: jnp.ndarray  # (N, nc, nc) Cholesky factors of Quu
+    Qxu: jnp.ndarray       # (N, nz, nc)
+    m: jnp.ndarray         # (N, nz)  P_{k+1} d_k
+    P0: jnp.ndarray        # (nz, nz) value Hessian at k=0 (diagnostics)
+
+
+def _sym(M):
+    return 0.5 * (M + jnp.swapaxes(M, -1, -2))
+
+
+def lqr_factorize(dyn: LQRDynamics, cost: LQRCost,
+                  reg: float = 1e-8) -> LQRFactors:
+    """Backward Riccati pass over the quadratic terms only."""
+    nz = dyn.F.shape[-1]
+
+    def backward(P, inp):
+        F, G, Q, R, S, d = inp
+        PF = P @ F
+        PG = P @ G
+        Qxx = Q + F.T @ PF
+        Quu = R + G.T @ PG
+        Qxu = S + F.T @ PG
+        Quu = _sym(Quu) + reg * jnp.eye(Quu.shape[-1], dtype=Quu.dtype)
+        L = jnp.linalg.cholesky(Quu)
+        K = -jax.scipy.linalg.cho_solve((L, True), Qxu.T)
+        P_new = _sym(Qxx + Qxu @ K)
+        m = P @ d
+        return P_new, (K, L, Qxu, m)
+
+    P_N = cost.Q[-1]
+    inputs = (dyn.F, dyn.G, cost.Q[:-1], cost.R, cost.S, dyn.d)
+    P0, (K, L, Qxu, m) = jax.lax.scan(backward, P_N, inputs, reverse=True)
+    return LQRFactors(K=K, Quu_chol=L, Qxu=Qxu, m=m, P0=P0)
+
+
+def lqr_affine_solve(dyn: LQRDynamics, fac: LQRFactors,
+                     q: jnp.ndarray, r: jnp.ndarray, z0: jnp.ndarray):
+    """Solve for the optimal trajectory given (possibly new) linear terms.
+
+    Args:
+      q: (N+1, nz) linear state cost; r: (N, nc) linear control cost.
+    Returns:
+      z: (N+1, nz), c: (N, nc).
+    """
+
+    def backward(p, inp):
+        F, G, K, L, Qxu, m, qk, rk = inp
+        t = p + m
+        Qu = rk + G.T @ t
+        kff = -jax.scipy.linalg.cho_solve((L, True), Qu)
+        p_new = qk + F.T @ t + Qxu @ kff
+        return p_new, kff
+
+    inputs = (dyn.F, dyn.G, fac.K, fac.Quu_chol, fac.Qxu, fac.m,
+              q[:-1], r)
+    _, kff = jax.lax.scan(backward, q[-1], inputs, reverse=True)
+
+    def forward(z, inp):
+        F, G, d, K, kffk = inp
+        c = K @ z + kffk
+        z_next = F @ z + G @ c + d
+        return z_next, (z, c)
+
+    zN, (z, c) = jax.lax.scan(forward, z0,
+                              (dyn.F, dyn.G, dyn.d, fac.K, kff))
+    z_full = jnp.concatenate([z, zN[None]], axis=0)
+    return z_full, c
+
+
+def lqr_solve(dyn: LQRDynamics, cost: LQRCost, z0: jnp.ndarray,
+              reg: float = 1e-8):
+    """One-shot equality-constrained solve (factorise + affine + rollout)."""
+    fac = lqr_factorize(dyn, cost, reg)
+    return lqr_affine_solve(dyn, fac, cost.q, cost.r, z0)
