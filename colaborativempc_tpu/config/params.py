@@ -89,8 +89,9 @@ class OCDConfig(NamedTuple):
 class SolverConfig(NamedTuple):
     """On-device QP/SQP engine knobs (no reference equivalent: replaces
     OSQP/IPOPT option dicts, LPV_Planner.py:233, NL_Planner_Eu.py:172-175)."""
-    admm_iters: int = 60        # fixed ADMM iterations per QP solve
-    rho: float = 10.0           # ADMM penalty
+    admm_iters: int = 300       # ADMM iteration budget (early exit on residuals)
+    rho: float = 10.0           # ADMM penalty (plain box rows)
+    rho_slack: float = 1e4      # ADMM penalty for slack-carrying rows
     alpha_relax: float = 1.6    # ADMM over-relaxation
     sqp_iters: int = 3          # SQP outer iterations (1 = RTI mode)
     line_search: float = 1.0    # SQP step blending (1 = full step)

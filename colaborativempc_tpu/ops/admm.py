@@ -3,10 +3,10 @@
 The on-device replacement for OSQP (reference ``LPV_Planner.py:192-249``):
 an operator-splitting QP solver whose linear-system step exploits the MPC
 banded structure through the Riccati factorisation in ops/lqr.py instead of a
-sparse LDL^T. Everything is jittable with static shapes, runs a fixed maximum
-iteration count (``lax.while_loop`` with residual-based early exit), and
-vmaps over agents/scenario batches — the batch dimension is what fills the
-TPU's vector lanes.
+sparse LDL^T. Everything is jittable with static shapes, runs a bounded
+iteration count (``lax.while_loop`` over refactorisation epochs with
+residual-based early exit), and vmaps over agents/scenario batches — the
+batch dimension is what fills the TPU's vector lanes.
 
 Problem:
 
@@ -14,18 +14,29 @@ Problem:
     s.t.  z_{k+1} = F_k z_k + G_k c_k + d_k,   z_0 fixed
           lo_k <= D_k z_k + E_k c_k <= hi_k    (per-stage, stage-local)
 
-Splitting:  v = Dz + Ec,  min J(z,c) + I_[lo,hi](w)  s.t. v = w.
+Bounds may be HARD or SOFT: a soft bound with weight sigma adds
+sigma * violation^2 to the objective — the analytic elimination of a
+quadratically-penalised slack variable on a single row (the reference's
+slack formulation, LPV_Planner.py:294-303). Keeping 1e7-scale slack weights
+out of the Riccati matrices preserves float32 conditioning on TPU; the
+weight only appears in the closed-form prox shrinkage of the w-step.
+
+Splitting:  v = Dz + Ec,  min J(z,c) + g(w)  s.t. v = w,  where g is the
+box indicator (hard rows) plus the quadratic violation penalty (soft rows).
 
 Per iteration (scaled dual y, over-relaxation alpha):
     (z, c) <- argmin J + rho/2 || Dz + Ec - w + y ||^2      (Riccati solve)
     v      <- Dz + Ec;   vhat <- alpha v + (1-alpha) w
-    w      <- clip(vhat + y, lo, hi)
+    w      <- prox_g(vhat + y)          (clip / shrink toward the box)
     y      <- y + vhat - w
 
-Because the quadratic augmentation rho (D'D, E'E, D'E) is constant, the
-Riccati factorisation is computed once per solve; each ADMM iteration costs
-only the affine backward/forward passes — the same factor-once/iterate-cheap
-economics as OSQP's KKT approach, but scan-structured for XLA.
+Adaptive rho (OSQP-style): every ``epoch_len`` iterations rho is rescaled by
+sqrt(r_prim/r_dual) (bounded) and the Riccati factorisation is redone. This
+is essential for rows with little single-stage control authority (e.g.
+position constraints one Euler step ahead) pressed by stiff penalties: with
+fixed rho the scaled dual needs O(sigma/rho) iterations to ramp; adaptive
+rho closes the gap geometrically. Within an epoch the factorisation is
+reused, keeping OSQP's factor-once/iterate-cheap economics.
 """
 
 from __future__ import annotations
@@ -36,28 +47,24 @@ import jax
 import jax.numpy as jnp
 
 from colaborativempc_tpu.ops.lqr import (
-    LQRCost, LQRDynamics, LQRFactors, lqr_factorize, lqr_affine_solve,
+    LQRCost, LQRDynamics, lqr_factorize, lqr_affine_solve,
 )
 
 
 class StageQP(NamedTuple):
-    """A stage-structured QP: LQR data + per-stage inequality rows."""
+    """A stage-structured QP: LQR data + per-stage inequality rows.
+
+    ``soft_lo``/``soft_hi``: optional per-row quadratic penalty weights;
+    +inf (or None) means a hard bound.
+    """
     dyn: LQRDynamics
     cost: LQRCost
     D: jnp.ndarray    # (N, m, nz)
     E: jnp.ndarray    # (N, m, nc)
     lo: jnp.ndarray   # (N, m)
     hi: jnp.ndarray   # (N, m)
-
-
-class ADMMState(NamedTuple):
-    z: jnp.ndarray          # (N+1, nz)
-    c: jnp.ndarray          # (N, nc)
-    w: jnp.ndarray          # (N, m) projected constraint values
-    y: jnp.ndarray          # (N, m) scaled duals
-    it: jnp.ndarray         # iterations executed
-    r_prim: jnp.ndarray     # max |v - w|
-    r_dual: jnp.ndarray     # rho * max |w - w_prev|
+    soft_lo: Optional[jnp.ndarray] = None   # (N, m) weights or None
+    soft_hi: Optional[jnp.ndarray] = None
 
 
 class ADMMSolution(NamedTuple):
@@ -65,10 +72,22 @@ class ADMMSolution(NamedTuple):
     c: jnp.ndarray
     w: jnp.ndarray
     y: jnp.ndarray
+    rho_scale: jnp.ndarray  # final adaptive-rho multiplier (warm-startable)
     iterations: jnp.ndarray
     r_prim: jnp.ndarray
     r_dual: jnp.ndarray
     feasible: jnp.ndarray   # primal residual below tolerance at exit
+
+
+class _EpochState(NamedTuple):
+    z: jnp.ndarray
+    c: jnp.ndarray
+    w: jnp.ndarray
+    y: jnp.ndarray
+    rho_scale: jnp.ndarray
+    it: jnp.ndarray
+    r_prim: jnp.ndarray
+    r_dual: jnp.ndarray
 
 
 def _active_rows(qp: StageQP) -> jnp.ndarray:
@@ -77,87 +96,136 @@ def _active_rows(qp: StageQP) -> jnp.ndarray:
     return (jnp.isfinite(qp.lo) | jnp.isfinite(qp.hi)).astype(qp.D.dtype)
 
 
-def build_admm_cost(qp: StageQP, rho: float) -> LQRCost:
-    """Quadratic cost augmented with the constant rho-penalty terms."""
+def _rho_vec(qp: StageQP, rho) -> jnp.ndarray:
+    """Broadcast rho to per-row shape (N, m)."""
+    return jnp.broadcast_to(jnp.asarray(rho, qp.lo.dtype), qp.lo.shape)
+
+
+def build_admm_cost(qp: StageQP, rho) -> LQRCost:
+    """Quadratic cost augmented with the rho-penalty terms."""
     mask = _active_rows(qp)
+    rv = _rho_vec(qp, rho) * mask
     D = qp.D * mask[..., None]
     E = qp.E * mask[..., None]
-    DtD = jnp.einsum("kmi,kmj->kij", D, D)
-    EtE = jnp.einsum("kmi,kmj->kij", E, E)
-    DtE = jnp.einsum("kmi,kmj->kij", D, E)
-    Q = qp.cost.Q.at[:-1].add(rho * DtD)
-    R = qp.cost.R + rho * EtE
-    S = qp.cost.S + rho * DtE
+    DtD = jnp.einsum("km,kmi,kmj->kij", rv, D, D)
+    EtE = jnp.einsum("km,kmi,kmj->kij", rv, E, E)
+    DtE = jnp.einsum("km,kmi,kmj->kij", rv, D, E)
+    Q = qp.cost.Q.at[:-1].add(DtD)
+    R = qp.cost.R + EtE
+    S = qp.cost.S + DtE
     return LQRCost(Q=Q, q=qp.cost.q, R=R, r=qp.cost.r, S=S)
 
 
 def admm_solve(qp: StageQP, z0: jnp.ndarray,
                w0: Optional[jnp.ndarray] = None,
                y0: Optional[jnp.ndarray] = None,
-               iters: int = 60, rho: float = 10.0, alpha: float = 1.6,
+               iters: int = 100, rho: float = 10.0, alpha: float = 1.6,
                eps: float = 1e-4, reg: float = 1e-8,
-               fac: Optional[LQRFactors] = None,
-               aug_cost: Optional[LQRCost] = None) -> ADMMSolution:
-    """Solve the stage QP. ``w0``/``y0`` warm-start the splitting variables
-    (pass the previous MPC step's values, shifted — the analogue of OSQP
-    ``warm_start``, reference LPV_Planner.py:237-238).
-
-    ``fac``/``aug_cost`` allow reusing the factorisation when the caller
-    solves the same quadratic repeatedly (e.g. SQP inner loops with unchanged
-    linearisation).
-    """
+               epoch_len: int = 25,
+               rho_scale0: float = 1.0,
+               max_rho_scale: float = 1e6,
+               feas_tol: float = 2e-3) -> ADMMSolution:
+    """Solve the stage QP with warm-startable (w0, y0, rho_scale0)."""
     N, m = qp.lo.shape
-
-    if aug_cost is None:
-        aug_cost = build_admm_cost(qp, rho)
-    if fac is None:
-        fac = lqr_factorize(qp.dyn, aug_cost, reg)
+    dtype = z0.dtype
 
     if w0 is None:
-        w0 = jnp.clip(jnp.zeros((N, m), z0.dtype), qp.lo, qp.hi)
+        w0 = jnp.clip(jnp.zeros((N, m), dtype), qp.lo, qp.hi)
     if y0 is None:
-        y0 = jnp.zeros((N, m), z0.dtype)
+        y0 = jnp.zeros((N, m), dtype)
 
     mask = _active_rows(qp)
+    base_rv = _rho_vec(qp, rho) * mask
     Dm = qp.D * mask[..., None]
     Em = qp.E * mask[..., None]
+
+    slo = (jnp.full_like(qp.lo, jnp.inf) if qp.soft_lo is None
+           else qp.soft_lo.astype(dtype))
+    shi = (jnp.full_like(qp.hi, jnp.inf) if qp.soft_hi is None
+           else qp.soft_hi.astype(dtype))
 
     def constraint_eval(z, c):
         return (jnp.einsum("kmi,ki->km", Dm, z[:-1])
                 + jnp.einsum("kmi,ki->km", Em, c))
 
-    def iteration(state: ADMMState) -> ADMMState:
-        # z-step: linear terms from the penalty rho/2 ||v - w + y||^2
-        t = state.y - state.w                       # (N, m)
-        q_pen = rho * jnp.einsum("kmi,km->ki", Dm, t)
-        r_pen = rho * jnp.einsum("kmi,km->ki", Em, t)
-        q = aug_cost.q.at[:-1].add(q_pen)
-        r = aug_cost.r + r_pen
-        z, c = lqr_affine_solve(qp.dyn, fac, q, r, z0)
+    n_epochs = max(1, -(-iters // epoch_len))
 
-        v = constraint_eval(z, c)
-        vhat = alpha * v + (1.0 - alpha) * state.w
-        w = jnp.clip(vhat + state.y, qp.lo, qp.hi)
-        y = state.y + vhat - w
+    def epoch(state: _EpochState) -> _EpochState:
+        rv = base_rv * state.rho_scale
+        aug_cost = build_admm_cost(qp, rv)
+        fac = lqr_factorize(qp.dyn, aug_cost, reg)
 
-        r_prim = jnp.max(jnp.abs(v - w))
-        r_dual = rho * jnp.max(jnp.abs(w - state.w))
-        return ADMMState(z=z, c=c, w=w, y=y, it=state.it + 1,
-                         r_prim=r_prim, r_dual=r_dual)
+        rv_safe = jnp.where(rv > 0, rv, 1.0)
+        fac_lo = jnp.where(jnp.isinf(slo), 0.0,
+                           rv_safe / (rv_safe + 2.0 * slo))
+        fac_hi = jnp.where(jnp.isinf(shi), 0.0,
+                           rv_safe / (rv_safe + 2.0 * shi))
 
-    def cond(state: ADMMState):
+        def prox(wbar):
+            w = jnp.where(wbar > qp.hi,
+                          qp.hi + fac_hi * (wbar - qp.hi), wbar)
+            w = jnp.where(wbar < qp.lo,
+                          qp.lo + fac_lo * (wbar - qp.lo), w)
+            return w
+
+        def iteration(carry, _):
+            w_prev, y_prev, _, _ = carry
+            t = rv * (y_prev - w_prev)
+            q_pen = jnp.einsum("kmi,km->ki", Dm, t)
+            r_pen = jnp.einsum("kmi,km->ki", Em, t)
+            q = aug_cost.q.at[:-1].add(q_pen)
+            r = aug_cost.r + r_pen
+            z, c = lqr_affine_solve(qp.dyn, fac, q, r, z0)
+            v = constraint_eval(z, c)
+            vhat = alpha * v + (1.0 - alpha) * w_prev
+            w = prox(vhat + y_prev)
+            y = y_prev + vhat - w
+            r_p = jnp.max(jnp.abs(mask * (v - w)))
+            r_d = jnp.max(jnp.abs(mask * (w - w_prev)))
+            return (w, y, r_p, r_d), (z, c)
+
+        # derive the scalar carry init from data so its varying-axes type
+        # matches the loop outputs under shard_map (scan-vma typing)
+        zero = jnp.sum(state.w) * 0.0
+        (w, y, r_prim, r_dual), zc = jax.lax.scan(
+            iteration, (state.w, state.y, zero, zero), None,
+            length=epoch_len)
+        z = zc[0][-1]
+        c = zc[1][-1]
+
+        # OSQP-style rescale, bounded; rescale the scaled dual accordingly
+        ratio = jnp.sqrt(r_prim / jnp.maximum(r_dual, 1e-12))
+        ratio = jnp.clip(ratio, 0.2, 10.0)
+        new_scale = jnp.clip(state.rho_scale * ratio, 1e-3, max_rho_scale)
+        y = y * (state.rho_scale / new_scale)
+
+        return _EpochState(z=z, c=c, w=w, y=y, rho_scale=new_scale,
+                           it=state.it + epoch_len,
+                           r_prim=r_prim, r_dual=r_dual)
+
+    def cond(state: _EpochState):
         not_conv = (state.r_prim > eps) | (state.r_dual > eps)
-        return (state.it < iters) & (not_conv | (state.it < 2))
+        return (state.it < n_epochs * epoch_len) & not_conv
 
     nz = qp.dyn.F.shape[-1]
     nc = qp.dyn.G.shape[-1]
-    big = jnp.asarray(jnp.inf, z0.dtype)
-    init = ADMMState(
-        z=jnp.zeros((N + 1, nz), z0.dtype), c=jnp.zeros((N, nc), z0.dtype),
-        w=w0, y=y0, it=jnp.asarray(0), r_prim=big, r_dual=big)
+    # tie the inits to the data so their varying-axes types match the loop
+    # outputs under shard_map
+    tie = jnp.sum(w0) * 0.0 + jnp.sum(z0) * 0.0
+    big = jnp.asarray(jnp.inf, dtype) + tie
+    init = _EpochState(
+        z=jnp.zeros((N + 1, nz), dtype) + tie,
+        c=jnp.zeros((N, nc), dtype) + tie,
+        w=w0, y=y0,
+        rho_scale=jnp.asarray(rho_scale0, dtype) + tie,
+        it=jnp.asarray(0), r_prim=big, r_dual=big)
 
-    out = jax.lax.while_loop(cond, iteration, init)
+    out = jax.lax.while_loop(cond, epoch, init)
     return ADMMSolution(z=out.z, c=out.c, w=out.w, y=out.y,
+                        rho_scale=out.rho_scale,
                         iterations=out.it, r_prim=out.r_prim,
                         r_dual=out.r_dual,
-                        feasible=out.r_prim < 10 * eps)
+                        # tolerant acceptance mirroring the reference, which
+                        # treats OSQP 'solved_inaccurate' and even
+                        # 'max_iter_reached' as usable (LPV_Planner.py:241-249)
+                        feasible=out.r_prim < feas_tol)

@@ -1,0 +1,145 @@
+"""Multi-chip sharded fleet execution over a device mesh.
+
+The TPU-native replacement for the reference's process-per-agent ROS
+deployment (``ROS/src/planner_experiments/src/LPV_ROS_main.py``,
+``launch/LPV_car_spawner.launch``): agents live on a mesh axis and scenario
+batches (Monte-Carlo sweeps, the reference's ``experiment_battery.py``) on a
+second axis. The per-step plan exchange that ROS performed over TCPROS
+pub/sub with hand-rolled barrier flags (``LPV_ROS_main.py:124-151``) is ONE
+``jax.lax.all_gather`` of (X, Y) horizon trajectories over the agent axis —
+riding ICI instead of loopback TCP — inside a single jitted SPMD program.
+
+Layout:
+    mesh axes ("scen", "agent")
+    x_pred: (S, n_agents, N+1, 9) sharded P("scen", "agent")
+    one or more agents per device along the agent axis
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from colaborativempc_tpu.config.params import ExperimentConfig, lpv_gains
+from colaborativempc_tpu.geometry import Track
+from colaborativempc_tpu.planners.lpv import lpv_solve, LPVSolution
+from colaborativempc_tpu.runtime.simulate import FleetState, StepMetrics
+
+
+def make_sharded_lpv_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
+                          scen_axis: str = "scen",
+                          agent_axis: str = "agent"):
+    """Build the sharded one-control-step function for batched fleets.
+
+    Operates on a scenario-batched FleetState whose arrays carry a leading
+    scenario dimension: x0 (S, n_ag, 9), x_pred (S, n_ag, N+1, 9), ...
+    Returns a jitted function state -> (state, metrics).
+    """
+    gains = cfg.gains if cfg.gains is not None else lpv_gains()
+    n_ag = cfg.n_agents
+    multi = n_ag > 1
+
+    def one_agent(x0, x_lin, u_lin, u_old, w, y, rho_scale, neighbours_xy):
+        return lpv_solve(
+            track, gains, cfg.limits, cfg.model, cfg.N, cfg.dt,
+            x0, x_lin, u_lin, u_old,
+            neighbours_xy if multi else None,
+            w0=w, y0=y, rho_scale0=rho_scale,
+            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho)
+
+    def local_step(state: FleetState):
+        # local shapes: (S_l, A_l, ...)
+        A_l = state.x0.shape[1]
+        a_idx = jax.lax.axis_index(agent_axis)
+
+        # THE exchange: gather every agent's (X, Y) plan over ICI
+        xy_local = state.x_pred[:, :, :, 7:9]          # (S_l, A_l, N+1, 2)
+        all_xy = jax.lax.all_gather(
+            xy_local, agent_axis, axis=1, tiled=True)  # (S_l, n_ag, N+1, 2)
+
+        def neighbours_of(global_id, all_xy_s):
+            # all agents except global_id, via a dynamic roll
+            rolled = jnp.roll(all_xy_s, -(global_id + 1), axis=0)
+            return rolled[: n_ag - 1]                  # (n_nb, N+1, 2)
+
+        def solve_scenario(x0, x_lin, u_lin, u_old, w, y, rs, all_xy_s):
+            def solve_agent(local_a, x0a, xla, ula, uoa, wa, ya, rsa):
+                gid = a_idx * A_l + local_a
+                nb = jnp.swapaxes(neighbours_of(gid, all_xy_s), 0, 1)
+                return one_agent(x0a, xla, ula, uoa, wa, ya, rsa, nb)
+            return jax.vmap(solve_agent)(
+                jnp.arange(A_l), x0, x_lin, u_lin, u_old, w, y, rs)
+
+        sol: LPVSolution = jax.vmap(solve_scenario)(
+            state.x0, state.x_pred, state.u_pred, state.u_old,
+            state.w, state.y, state.rho_scale, all_xy)
+
+        new_state = FleetState(
+            x0=sol.x_pred[:, :, 1, :],
+            x_pred=sol.x_pred, u_pred=sol.u_pred,
+            u_old=sol.u_pred[:, :, 0, :],
+            w=sol.w, y=sol.y, rho_scale=sol.rho_scale)
+
+        # fleet-wide min pairwise distance per scenario: reduce over agents
+        all_xy_new = jax.lax.all_gather(
+            sol.x_pred[:, :, :, 7:9], agent_axis, axis=1, tiled=True)
+        p = all_xy_new[:, :, 1:, :]                    # (S_l, n_ag, N, 2)
+        diff = p[:, :, None] - p[:, None, :]
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+        eye = jnp.eye(n_ag)[None, :, :, None] * 1e9
+        min_dist = jnp.min(dist + eye, axis=(1, 2, 3))  # (S_l,)
+        # every agent shard computed the same value; pmin makes the
+        # replication explicit so the P("scen") out_spec typechecks
+        min_dist = jax.lax.pmin(min_dist, agent_axis)
+
+        exec_xy = jax.lax.all_gather(
+            sol.x_pred[:, :, 1, 7:9], agent_axis, axis=1, tiled=True)
+        dd = exec_xy[:, :, None, :] - exec_xy[:, None, :, :]
+        dexec = jnp.sqrt(jnp.sum(dd * dd, axis=-1) + 1e-12)
+        dexec = dexec + jnp.eye(n_ag)[None] * 1e9
+        min_dist_exec = jax.lax.pmin(jnp.min(dexec, axis=(1, 2)), agent_axis)
+        metrics = StepMetrics(
+            feasible=sol.feasible, iterations=sol.iterations,
+            r_prim=sol.r_prim, min_dist=min_dist,
+            min_dist_exec=min_dist_exec,
+            slack_max=jnp.max(jnp.abs(sol.s_pred), axis=(2, 3)))
+        return new_state, metrics
+
+    state_spec = FleetState(
+        x0=P(scen_axis, agent_axis), x_pred=P(scen_axis, agent_axis),
+        u_pred=P(scen_axis, agent_axis), u_old=P(scen_axis, agent_axis),
+        w=P(scen_axis, agent_axis), y=P(scen_axis, agent_axis),
+        rho_scale=P(scen_axis, agent_axis))
+    metrics_spec = StepMetrics(
+        feasible=P(scen_axis, agent_axis),
+        iterations=P(scen_axis, agent_axis),
+        r_prim=P(scen_axis, agent_axis),
+        min_dist=P(scen_axis),
+        min_dist_exec=P(scen_axis),
+        slack_max=P(scen_axis, agent_axis))
+
+    sharded = jax.shard_map(local_step, mesh=mesh,
+                            in_specs=(state_spec,),
+                            out_specs=(state_spec, metrics_spec))
+    return jax.jit(sharded)
+
+
+def batch_fleet_state(state: FleetState, n_scen: int) -> FleetState:
+    """Tile a single-fleet state into a scenario batch (leading S axis)."""
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (n_scen,) + x.shape).copy()
+        if hasattr(x, "shape") else x, state)
+
+
+def shard_fleet_state(state: FleetState, mesh: Mesh,
+                      scen_axis: str = "scen",
+                      agent_axis: str = "agent") -> FleetState:
+    """Place a scenario-batched FleetState onto the mesh."""
+    def put(x):
+        spec = P(scen_axis, agent_axis)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(put, state)

@@ -1,0 +1,244 @@
+"""Nonlinear collaborative MPC planners (the reference's NLP family).
+
+TPU-native re-design of ``base_nl_constr`` + ``PlannerEu``
+(``planner/lib/plan_lib/nonLinDistribPlanner/base_nl.py``,
+``NL_Planner_Eu.py``): instead of a CasADi Opti graph solved by IPOPT
+(NL_Planner_Eu.py:172-183), the nonlinear OCP is solved by SQP — autodiff
+linearisation of the analytic bicycle dynamics around the incumbent
+trajectory, each inner QP solved by the stage-structured Riccati+ADMM engine
+(ops/). This mirrors the architecture the reference itself uses natively
+(the C++ MPCC SQP loop, MPCC-master/C++/MPC/mpc.cpp:232-242), and SQP with 1
+iteration reproduces the real-time-iteration trick the reference pulls with
+``max_iter: 1`` IPOPT (NL_Planner_Hp.py:218).
+
+OCD sub-problem structure (NL_Planner_Eu.py):
+- tracking/rate/slack cost as in the reference ``cost`` (:16-52). The
+  reference also adds copies of the NEIGHBOURS' costs built from parameters
+  (:32-42); those are constant w.r.t. the ego's decision variables and
+  cannot change the minimiser, so they are omitted here.
+- master side (ego id < neighbour id): the coupling price
+  lambda_{i,k} * (dth - ||p_ego - p_neigh||) enters the cost (:45-47);
+  linearised per SQP iteration it contributes -lambda * g_hat to the linear
+  cost on (X, Y), g_hat = unit vector from neighbour to ego.
+- slave side (ego id > neighbour id): hard distance constraint
+  ||p_ego - p_neigh|| + s >= dth with quadratically penalised slack
+  (:68-71); linearised it is a soft lower-bound row
+  g_hat . p >= dth - ||p_bar - p_n|| + g_hat . p_bar.
+Role asymmetry is expressed as masks over a dense neighbour tensor so every
+agent runs the same program (batched over the fleet), unlike the reference
+where each agent's CasADi graph has a different shape.
+
+Alignment note: the reference pairs ego stage j with neighbour stage j-1 in
+the coupling terms (update_parameters feeds pose_param[j-1] = neighbour
+stage j-1 against x[j], base_nl.py:417-425) while the dual update uses
+same-stage pairs (NL_EU_N_main.py:130-135); we use same-stage alignment for
+both.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from colaborativempc_tpu.config.params import Gains, ModelParams, SysLimits
+from colaborativempc_tpu.dynamics.bicycle import NX, NU, f_continuous
+from colaborativempc_tpu.geometry import Track, curvature, halfwidth
+from colaborativempc_tpu.ops import (
+    LQRCost, LQRDynamics, StageQP, admm_solve, ADMMSolution,
+)
+from colaborativempc_tpu.planners.lpv import (
+    NZ, NC, SOFT_WEIGHT_CAP, _augment_dynamics,
+)
+
+INF = jnp.inf
+_EPS = 1e-6
+
+
+class NLSolution(NamedTuple):
+    x_pred: jnp.ndarray    # (N+1, 9)
+    u_pred: jnp.ndarray    # (N, 2)
+    du_pred: jnp.ndarray   # (N, 2)
+    s_pred: jnp.ndarray    # (N, 3) realised violations (vel, ey, distance)
+    feasible: jnp.ndarray
+    w: jnp.ndarray
+    y: jnp.ndarray
+    rho_scale: jnp.ndarray
+    iterations: jnp.ndarray
+    r_prim: jnp.ndarray
+
+
+def _linearize_horizon(x_bar: jnp.ndarray, u_bar: jnp.ndarray,
+                       kappas: jnp.ndarray, dt, model: ModelParams):
+    """Autodiff linearisation of the Euler-discretised nonlinear dynamics
+    around (x_bar, u_bar): x_{k+1} ~= Ad x + Bd u + rd."""
+
+    def fd(x, u, k):
+        return x + dt * f_continuous(x, u, k, model)
+
+    def one(x, u, k):
+        Ad = jax.jacfwd(fd, argnums=0)(x, u, k)
+        Bd = jax.jacfwd(fd, argnums=1)(x, u, k)
+        rd = fd(x, u, k) - Ad @ x - Bd @ u
+        return Ad, Bd, rd
+
+    return jax.vmap(one)(x_bar, u_bar, kappas)
+
+
+def build_nl_qp(track: Track, gains: Gains, limits: SysLimits,
+                model: ModelParams, N: int, dt,
+                x_bar: jnp.ndarray, u_bar: jnp.ndarray,
+                lambdas: jnp.ndarray, neigh_xy: jnp.ndarray,
+                master_mask: jnp.ndarray) -> StageQP:
+    """Assemble the SQP inner QP around (x_bar, u_bar).
+
+    Args:
+      lambdas: (n_nb, N) coupling prices for each neighbour and stage.
+      neigh_xy: (N+1, n_nb, 2) neighbour plans (stage-aligned).
+      master_mask: (n_nb,) 1.0 where ego id < neighbour id (price in cost),
+        0.0 where ego is the slave (hard linearised distance row).
+    """
+    gains = gains._replace(qs=jnp.minimum(gains.qs, SOFT_WEIGHT_CAP))
+    dtype = x_bar.dtype
+    n_nb = neigh_xy.shape[1]
+
+    kappas = curvature(track, x_bar[:N, 6])
+    Ad, Bd, rd = _linearize_horizon(x_bar[:N], u_bar, kappas, dt, model)
+    dyn = _augment_dynamics(Ad, Bd)
+    dyn = dyn._replace(d=dyn.d.at[:, :NX].set(rd))
+
+    # ---- cost (NL_Planner_Eu.py:23-30) -----------------------------------
+    Qz_diag = jnp.concatenate([2.0 * gains.q, 2.0 * gains.r]).astype(dtype)
+    Q = jnp.zeros((N + 1, NZ, NZ), dtype)
+    Q = Q.at[1:].set(jnp.diag(Qz_diag))
+    R = jnp.broadcast_to(jnp.diag(2.0 * gains.dr.astype(dtype)), (N, NC, NC))
+    S = jnp.zeros((N, NZ, NC), dtype)
+
+    q = jnp.zeros((N + 1, NZ), dtype)
+    q = q.at[1:, 0].set(-2.0 * gains.q[0] * limits.vx_ref)
+
+    # master coupling price: d/dp [-lambda * ||p - p_n||] = -lambda * g_hat
+    p_bar = x_bar[1:, 7:9]                                  # (N, 2)
+    diff = p_bar[:, None, :] - neigh_xy[1:]                 # (N, n_nb, 2)
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + _EPS)   # (N, n_nb)
+    g_hat = diff / dist[..., None]
+    lam = jnp.swapaxes(lambdas, 0, 1) * master_mask[None, :]  # (N, n_nb)
+    q = q.at[1:, 7].add(-jnp.sum(lam * g_hat[..., 0], axis=-1).astype(dtype))
+    q = q.at[1:, 8].add(-jnp.sum(lam * g_hat[..., 1], axis=-1).astype(dtype))
+    r = jnp.zeros((N, NC), dtype)
+    cost = LQRCost(Q=Q, q=q, R=R, r=r, S=S)
+
+    # ---- constraints -----------------------------------------------------
+    m = 4 + n_nb
+    D = jnp.zeros((N, m, NZ), dtype)
+    E = jnp.zeros((N, m, NC), dtype)
+    lo = jnp.full((N, m), -INF, dtype)
+    hi = jnp.full((N, m), INF, dtype)
+    soft_lo = jnp.full((N, m), INF, dtype)
+    soft_hi = jnp.full((N, m), INF, dtype)
+
+    F_, G_ = dyn.F, dyn.G
+
+    def next_state_rows(j):
+        return F_[:, j, :], G_[:, j, :]
+
+    # velocity band, soft BOTH sides (base_nl slack_agent[:,1],
+    # NL_Planner_Eu.py:60)
+    Dv, Ev = next_state_rows(0)
+    D = D.at[:, 0, :].set(Dv); E = E.at[:, 0, :].set(Ev)
+    lo = lo.at[:, 0].set(limits.min_vel)
+    hi = hi.at[:, 0].set(limits.max_vel)
+    soft_lo = soft_lo.at[:, 0].set(gains.qs[0])
+    soft_hi = soft_hi.at[:, 0].set(gains.qs[0])
+
+    # lateral error band, soft both sides (NL_Planner_Eu.py:62)
+    ey_ub = (halfwidth(track, x_bar[:N, 6], sm=limits.sm)).astype(dtype)
+    Dey, Eey = next_state_rows(3)
+    D = D.at[:, 1, :].set(Dey); E = E.at[:, 1, :].set(Eey)
+    lo = lo.at[:, 1].set(-ey_ub); hi = hi.at[:, 1].set(ey_ub)
+    soft_lo = soft_lo.at[:, 1].set(gains.qs[0])
+    soft_hi = soft_hi.at[:, 1].set(gains.qs[0])
+
+    # input box, hard (NL_Planner_Eu.py:65-66)
+    D = D.at[:, 2, NX + 0].set(1.0); E = E.at[:, 2, 0].set(1.0)
+    lo = lo.at[:, 2].set(-limits.max_ls); hi = hi.at[:, 2].set(limits.max_rs)
+    D = D.at[:, 3, NX + 1].set(1.0); E = E.at[:, 3, 1].set(1.0)
+    lo = lo.at[:, 3].set(-limits.max_dc); hi = hi.at[:, 3].set(limits.max_ac)
+
+    # slave distance rows: g_hat . p_{k+1} >= bound, soft (obs slack Qs[2],
+    # NL_Planner_Eu.py:71). Disabled (lo = -inf) on master pairs.
+    Dx_, Ex_ = next_state_rows(7)
+    Dy_, Ey_ = next_state_rows(8)
+    gx = g_hat[..., 0]; gy = g_hat[..., 1]
+    Dds = gx[:, :, None] * Dx_[:, None, :] + gy[:, :, None] * Dy_[:, None, :]
+    Eds = gx[:, :, None] * Ex_[:, None, :] + gy[:, :, None] * Ey_[:, None, :]
+    D = D.at[:, 4:, :].set(Dds.astype(dtype))
+    E = E.at[:, 4:, :].set(Eds.astype(dtype))
+    bound = (limits.min_dist - dist
+             + jnp.sum(g_hat * p_bar[:, None, :], axis=-1))
+    slave = (1.0 - master_mask)[None, :]
+    lo = lo.at[:, 4:].set(jnp.where(slave > 0, bound.astype(dtype), -INF))
+    soft_lo = soft_lo.at[:, 4:].set(gains.qs[2])
+
+    return StageQP(dyn=dyn, cost=cost, D=D, E=E, lo=lo, hi=hi,
+                   soft_lo=soft_lo, soft_hi=soft_hi)
+
+
+def _violations(qp: StageQP, z: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    v = (jnp.einsum("kmi,ki->km", qp.D, z[:-1])
+         + jnp.einsum("kmi,ki->km", qp.E, c))
+    over = jnp.maximum(v - qp.hi, 0.0) + jnp.maximum(qp.lo - v, 0.0)
+    return jnp.stack([over[:, 0], over[:, 1],
+                      jnp.max(over[:, 4:], axis=-1)], axis=-1)
+
+
+def nl_solve(track: Track, gains: Gains, limits: SysLimits,
+             model: ModelParams, N: int, dt,
+             x0: jnp.ndarray, x_bar: jnp.ndarray, u_bar: jnp.ndarray,
+             u_old: jnp.ndarray,
+             lambdas: jnp.ndarray, neigh_xy: jnp.ndarray,
+             master_mask: jnp.ndarray,
+             w0=None, y0=None, rho_scale0=1.0,
+             sqp_iters: int = 2, sqp_mix: float = 1.0,
+             admm_iters: int = 100, rho: float = 10.0,
+             eps: float = 1e-4) -> NLSolution:
+    """One nonlinear OCD sub-problem solve (reference PlannerEu.solve).
+
+    SQP: linearise -> stage QP -> ADMM, ``sqp_iters`` times, with convex
+    solution blending ``sqp_mix`` (the C++ MPCC sqpSolutionUpdate,
+    mpc.cpp:198-217). sqp_iters=1 is RTI mode.
+    """
+    dtype = x_bar.dtype
+    z0 = jnp.concatenate([x0, u_old]).astype(dtype)
+
+    def sqp_iter(carry, _):
+        x_lin, u_lin, w, y, rs = carry
+        qp = build_nl_qp(track, gains, limits, model, N, dt,
+                         x_lin, u_lin, lambdas, neigh_xy, master_mask)
+        sol = admm_solve(qp, z0, w0=w, y0=y, rho_scale0=rs,
+                         iters=admm_iters, rho=rho, eps=eps, epoch_len=10)
+        x_new = sol.z[:, :NX]
+        u_new = sol.z[1:, NX:]
+        x_mix = sqp_mix * x_new + (1.0 - sqp_mix) * x_lin
+        u_mix = sqp_mix * u_new + (1.0 - sqp_mix) * u_lin
+        return (x_mix, u_mix, sol.w, sol.y, sol.rho_scale), sol
+
+    if w0 is None:
+        n_nb = neigh_xy.shape[1]
+        w0 = jnp.zeros((N, 4 + n_nb), dtype)
+    if y0 is None:
+        y0 = jnp.zeros_like(w0)
+    rs0 = jnp.asarray(rho_scale0, dtype)
+
+    (x_fin, u_fin, w, y, rs), sols = jax.lax.scan(
+        sqp_iter, (x_bar, u_bar, w0, y0, rs0), None, length=sqp_iters)
+
+    last = jax.tree.map(lambda a: a[-1], sols)
+    qp_last = build_nl_qp(track, gains, limits, model, N, dt,
+                          x_fin, u_fin, lambdas, neigh_xy, master_mask)
+    return NLSolution(
+        x_pred=x_fin, u_pred=u_fin,
+        du_pred=last.c, s_pred=_violations(qp_last, last.z, last.c),
+        feasible=last.feasible, w=w, y=y, rho_scale=rs,
+        iterations=jnp.sum(sols.iterations), r_prim=last.r_prim)

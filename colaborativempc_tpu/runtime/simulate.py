@@ -1,0 +1,193 @@
+"""Closed-loop multi-agent experiment runtimes.
+
+The in-process scheduler of the reference (``planner/scripts/LPV_HP_N_main.py``
+:57-122, ``NL_EU_N_main.py:42-185``) re-designed TPU-first: the per-control-
+step work of ALL agents is one jitted function — agents are a vmapped batch
+axis (or a shard_map mesh axis, see parallel/), the trajectory exchange that
+ROS pub/sub performed (``OCD_ROS_main.py:89-91``) is a tensor transpose (one
+all_gather when sharded), and the host only runs the outer control loop and
+IO. The planning convention matches the reference: the MPC prediction IS the
+plant (x0 <- xPred[1], ``LPV_HP_N_main.py:106``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from colaborativempc_tpu.config.params import ExperimentConfig, lpv_gains
+from colaborativempc_tpu.geometry import Track, make_track, check_end
+from colaborativempc_tpu.planners.lpv import lpv_solve, LPVSolution
+from colaborativempc_tpu.utils.warmstart import initialise_agents
+from colaborativempc_tpu.config.params import x0_database
+
+
+class FleetState(NamedTuple):
+    """Per-agent planning state carried across control steps."""
+    x0: jnp.ndarray       # (n_ag, 9) current states
+    x_pred: jnp.ndarray   # (n_ag, N+1, 9) last predictions (linearisation)
+    u_pred: jnp.ndarray   # (n_ag, N, 2)
+    u_old: jnp.ndarray    # (n_ag, 2) last applied inputs
+    w: jnp.ndarray        # (n_ag, N, m) ADMM splitting warm start
+    y: jnp.ndarray        # (n_ag, N, m)
+    rho_scale: jnp.ndarray  # (n_ag,) adaptive-rho warm start
+
+
+class StepMetrics(NamedTuple):
+    feasible: jnp.ndarray     # (n_ag,)
+    iterations: jnp.ndarray   # (n_ag,)
+    r_prim: jnp.ndarray       # (n_ag,)
+    min_dist: jnp.ndarray     # scalar: min pairwise distance over horizon
+    min_dist_exec: jnp.ndarray  # scalar: min pairwise distance of x0 states
+    slack_max: jnp.ndarray    # (n_ag,) max slack magnitude
+
+
+def _neighbour_index(n_agents: int) -> np.ndarray:
+    """ns[i] = all agent ids except i (reference main scripts' ``ns``)."""
+    return np.array([[j for j in range(n_agents) if j != i]
+                     for i in range(n_agents)], dtype=np.int32)
+
+
+def _pairwise_min_dist(agents_xy: jnp.ndarray) -> jnp.ndarray:
+    """Min distance between any agent pair over horizon stages 1..N."""
+    p = agents_xy[1:]                                 # (N, n_ag, 2)
+    d = p[:, :, None, :] - p[:, None, :, :]
+    dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+    n = p.shape[1]
+    dist = dist + jnp.eye(n)[None] * 1e9
+    return jnp.min(dist)
+
+
+def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
+    """Build the jitted one-control-step function for the whole fleet."""
+    gains = cfg.gains if cfg.gains is not None else lpv_gains()
+    ns = jnp.asarray(_neighbour_index(cfg.n_agents))
+    multi = cfg.n_agents > 1
+
+    def one_agent(x0, x_lin, u_lin, u_old, w, y, rho_scale, neighbours_xy):
+        # warm start w/y unshifted: empirically better than the one-stage
+        # shift (the constraint geometry moves with the track, not the
+        # stage index)
+        return lpv_solve(
+            track, gains, cfg.limits, cfg.model, cfg.N, cfg.dt,
+            x0, x_lin, u_lin, u_old,
+            neighbours_xy if multi else None,
+            w0=w, y0=y, rho_scale0=rho_scale,
+            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho)
+
+    def step(state: FleetState):
+        # the "communication": everyone reads everyone's (X, Y) plan
+        # (reference LPV_HP_N_main.py:117 swapaxes; one all_gather on a mesh)
+        agents_xy = jnp.swapaxes(state.x_pred[:, :, 7:9], 0, 1)  # (N+1,n,2)
+        neigh = jnp.swapaxes(agents_xy[:, ns, :], 0, 1) if multi else (
+            jnp.zeros((cfg.n_agents, cfg.N + 1, 0, 2), agents_xy.dtype))
+        # neigh: (n_ag, N+1, n_nb, 2)
+
+        sol: LPVSolution = jax.vmap(one_agent)(
+            state.x0, state.x_pred, state.u_pred, state.u_old,
+            state.w, state.y, state.rho_scale, neigh)
+
+        new_state = FleetState(
+            x0=sol.x_pred[:, 1, :],        # x0 shift (prediction = plant)
+            x_pred=sol.x_pred, u_pred=sol.u_pred,
+            u_old=sol.u_pred[:, 0, :],
+            w=sol.w, y=sol.y, rho_scale=sol.rho_scale)
+        exec_xy = sol.x_pred[:, 1, 7:9]               # applied next states
+        dd = exec_xy[:, None, :] - exec_xy[None, :, :]
+        dexec = jnp.sqrt(jnp.sum(dd * dd, axis=-1) + 1e-12)
+        dexec = dexec + jnp.eye(dexec.shape[0]) * 1e9
+        metrics = StepMetrics(
+            feasible=sol.feasible, iterations=sol.iterations,
+            r_prim=sol.r_prim,
+            min_dist=_pairwise_min_dist(
+                jnp.swapaxes(sol.x_pred[:, :, 7:9], 0, 1)),
+            min_dist_exec=jnp.min(dexec),
+            slack_max=jnp.max(jnp.abs(sol.s_pred), axis=(1, 2)))
+        return new_state, metrics
+
+    return jax.jit(step)
+
+
+def init_lpv_fleet(track: Track, cfg: ExperimentConfig,
+                   x0s: Optional[np.ndarray] = None) -> FleetState:
+    dtype = jnp.float32 if cfg.dtype == "float32" else jnp.float64
+    if x0s is None:
+        x0s = x0_database(cfg.n_agents)
+    x0s = jnp.asarray(x0s, dtype)
+    _, x_pred, u_pred = initialise_agents(track, x0s, cfg.N, cfg.dt)
+    n_nb = cfg.n_agents - 1 if cfg.n_agents > 1 else 1
+    m = 4 + n_nb
+    # x0 = warmstart row 0, whose (X, Y, theta) are recomputed from the track
+    # geometry — the raw x0 database rows carry Cartesian fields inconsistent
+    # with their Frenet fields, and the reference also feeds the corrected
+    # row to the planner (LPV_HP_N_main.py:92 uses x_old[i][0, :]).
+    return FleetState(
+        x0=x_pred[:, 0, :], x_pred=x_pred, u_pred=u_pred,
+        u_old=jnp.zeros((cfg.n_agents, 2), dtype),
+        w=jnp.zeros((cfg.n_agents, cfg.N, m), dtype),
+        y=jnp.zeros((cfg.n_agents, cfg.N, m), dtype),
+        rho_scale=jnp.ones((cfg.n_agents,), dtype))
+
+
+class ExperimentResult(NamedTuple):
+    states: np.ndarray      # (T, n_ag, 9) applied states per step
+    inputs: np.ndarray      # (T, n_ag, 2)
+    feasible: np.ndarray    # (T, n_ag)
+    min_dist: np.ndarray    # (T,) over predictions
+    min_dist_exec: np.ndarray  # (T,) over executed states
+    step_times: np.ndarray  # (T,) wall clock per control step
+    iterations: np.ndarray  # (T, n_ag) ADMM iterations
+    steps: int
+    finished: bool          # lap completed (vs max_it exhausted)
+
+
+def run_lpv_experiment(cfg: ExperimentConfig,
+                       x0s: Optional[np.ndarray] = None,
+                       track: Optional[Track] = None,
+                       io=None) -> ExperimentResult:
+    """Closed-loop decentralised LPV experiment (reference
+    ``LPV_HP_N_main.main``). The host loop handles termination + IO; all
+    per-step compute is one jitted call."""
+    if track is None:
+        track = make_track(cfg.map_type)
+    state = init_lpv_fleet(track, cfg, x0s)
+    step = make_lpv_fleet_step(track, cfg)
+
+    states, inputs, feas_h, dist_h, times, iters_h = [], [], [], [], [], []
+    dist_exec_h = []
+    finished = False
+    it = 0
+    while it < cfg.max_it:
+        t0 = time.time()
+        state, metrics = step(state)
+        state = jax.block_until_ready(state)
+        times.append(time.time() - t0)
+
+        states.append(np.asarray(state.x0))
+        inputs.append(np.asarray(state.u_old))
+        feas_h.append(np.asarray(metrics.feasible))
+        dist_h.append(float(metrics.min_dist))
+        dist_exec_h.append(float(metrics.min_dist_exec))
+        iters_h.append(np.asarray(metrics.iterations))
+        if io is not None:
+            io.update(it, state, metrics, times[-1])
+
+        if not bool(np.all(feas_h[-1])):
+            break
+        # lap termination on any agent (reference checkEnd, misc.py:28-48)
+        if bool(np.any(np.asarray(
+                check_end(track, state.x0[:, 6], laps=cfg.laps)))):
+            finished = True
+            break
+        it += 1
+
+    return ExperimentResult(
+        states=np.asarray(states), inputs=np.asarray(inputs),
+        feasible=np.asarray(feas_h), min_dist=np.asarray(dist_h),
+        min_dist_exec=np.asarray(dist_exec_h),
+        step_times=np.asarray(times), iterations=np.asarray(iters_h),
+        steps=len(states), finished=finished)
