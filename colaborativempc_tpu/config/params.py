@@ -94,7 +94,9 @@ class SolverConfig(NamedTuple):
     rho_slack: float = 1e4      # ADMM penalty for slack-carrying rows
     alpha_relax: float = 1.6    # ADMM over-relaxation
     sqp_iters: int = 3          # SQP outer iterations (1 = RTI mode)
-    line_search: float = 1.0    # SQP step blending (1 = full step)
+    line_search: float = 0.7    # SQP solution blending (C++ MPCC sqp_mixing)
+    u_trust_delta: float = 0.06  # SQP trust region on steering
+    u_trust_acc: float = 0.6     # SQP trust region on acceleration
 
 
 @dataclasses.dataclass(frozen=True)

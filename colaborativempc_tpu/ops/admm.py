@@ -46,6 +46,10 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from functools import partial
+
+_es = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 from colaborativempc_tpu.ops.lqr import (
     LQRCost, LQRDynamics, lqr_factorize, lqr_affine_solve,
 )
@@ -107,9 +111,9 @@ def build_admm_cost(qp: StageQP, rho) -> LQRCost:
     rv = _rho_vec(qp, rho) * mask
     D = qp.D * mask[..., None]
     E = qp.E * mask[..., None]
-    DtD = jnp.einsum("km,kmi,kmj->kij", rv, D, D)
-    EtE = jnp.einsum("km,kmi,kmj->kij", rv, E, E)
-    DtE = jnp.einsum("km,kmi,kmj->kij", rv, D, E)
+    DtD = _es("km,kmi,kmj->kij", rv, D, D)
+    EtE = _es("km,kmi,kmj->kij", rv, E, E)
+    DtE = _es("km,kmi,kmj->kij", rv, D, E)
     Q = qp.cost.Q.at[:-1].add(DtD)
     R = qp.cost.R + EtE
     S = qp.cost.S + DtE
@@ -145,8 +149,8 @@ def admm_solve(qp: StageQP, z0: jnp.ndarray,
            else qp.soft_hi.astype(dtype))
 
     def constraint_eval(z, c):
-        return (jnp.einsum("kmi,ki->km", Dm, z[:-1])
-                + jnp.einsum("kmi,ki->km", Em, c))
+        return (_es("kmi,ki->km", Dm, z[:-1])
+                + _es("kmi,ki->km", Em, c))
 
     n_epochs = max(1, -(-iters // epoch_len))
 
@@ -171,8 +175,8 @@ def admm_solve(qp: StageQP, z0: jnp.ndarray,
         def iteration(carry, _):
             w_prev, y_prev, _, _ = carry
             t = rv * (y_prev - w_prev)
-            q_pen = jnp.einsum("kmi,km->ki", Dm, t)
-            r_pen = jnp.einsum("kmi,km->ki", Em, t)
+            q_pen = _es("kmi,km->ki", Dm, t)
+            r_pen = _es("kmi,km->ki", Em, t)
             q = aug_cost.q.at[:-1].add(q_pen)
             r = aug_cost.r + r_pen
             z, c = lqr_affine_solve(qp.dyn, fac, q, r, z0)

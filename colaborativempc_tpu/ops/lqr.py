@@ -26,10 +26,17 @@ Problem (z = state, c = control, both augmented by the caller):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# The Riccati recursion is numerically sensitive: on TPU, plain f32 matmuls
+# route through the MXU with bf16 inputs by default, which is catastrophic
+# for P-matrix products at long horizons (N=125 diverges to NaN). These are
+# tiny matrices - full f32 costs nothing.
+_mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 
 class LQRCost(NamedTuple):
@@ -67,16 +74,16 @@ def lqr_factorize(dyn: LQRDynamics, cost: LQRCost,
 
     def backward(P, inp):
         F, G, Q, R, S, d = inp
-        PF = P @ F
-        PG = P @ G
-        Qxx = Q + F.T @ PF
-        Quu = R + G.T @ PG
-        Qxu = S + F.T @ PG
+        PF = _mm(P, F)
+        PG = _mm(P, G)
+        Qxx = Q + _mm(F.T, PF)
+        Quu = R + _mm(G.T, PG)
+        Qxu = S + _mm(F.T, PG)
         Quu = _sym(Quu) + reg * jnp.eye(Quu.shape[-1], dtype=Quu.dtype)
         L = jnp.linalg.cholesky(Quu)
         K = -jax.scipy.linalg.cho_solve((L, True), Qxu.T)
-        P_new = _sym(Qxx + Qxu @ K)
-        m = P @ d
+        P_new = _sym(Qxx + _mm(Qxu, K))
+        m = _mm(P, d)
         return P_new, (K, L, Qxu, m)
 
     P_N = cost.Q[-1]
@@ -98,9 +105,9 @@ def lqr_affine_solve(dyn: LQRDynamics, fac: LQRFactors,
     def backward(p, inp):
         F, G, K, L, Qxu, m, qk, rk = inp
         t = p + m
-        Qu = rk + G.T @ t
+        Qu = rk + _mm(G.T, t)
         kff = -jax.scipy.linalg.cho_solve((L, True), Qu)
-        p_new = qk + F.T @ t + Qxu @ kff
+        p_new = qk + _mm(F.T, t) + _mm(Qxu, kff)
         return p_new, kff
 
     inputs = (dyn.F, dyn.G, fac.K, fac.Quu_chol, fac.Qxu, fac.m,
@@ -109,8 +116,8 @@ def lqr_affine_solve(dyn: LQRDynamics, fac: LQRFactors,
 
     def forward(z, inp):
         F, G, d, K, kffk = inp
-        c = K @ z + kffk
-        z_next = F @ z + G @ c + d
+        c = _mm(K, z) + kffk
+        z_next = _mm(F, z) + _mm(G, c) + d
         return z_next, (z, c)
 
     zN, (z, c) = jax.lax.scan(forward, z0,

@@ -1,3 +1,6 @@
 from colaborativempc_tpu.planners.lpv import (
     LPVSolution, build_lpv_qp, lpv_solve, NZ, NC,
 )
+from colaborativempc_tpu.planners.nl import (
+    NLSolution, build_nl_qp, nl_solve,
+)

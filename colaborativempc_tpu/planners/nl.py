@@ -90,7 +90,8 @@ def build_nl_qp(track: Track, gains: Gains, limits: SysLimits,
                 model: ModelParams, N: int, dt,
                 x_bar: jnp.ndarray, u_bar: jnp.ndarray,
                 lambdas: jnp.ndarray, neigh_xy: jnp.ndarray,
-                master_mask: jnp.ndarray) -> StageQP:
+                master_mask: jnp.ndarray,
+                u_trust: Optional[tuple] = (0.06, 0.6)) -> StageQP:
     """Assemble the SQP inner QP around (x_bar, u_bar).
 
     Args:
@@ -160,11 +161,27 @@ def build_nl_qp(track: Track, gains: Gains, limits: SysLimits,
     soft_lo = soft_lo.at[:, 1].set(gains.qs[0])
     soft_hi = soft_hi.at[:, 1].set(gains.qs[0])
 
-    # input box, hard (NL_Planner_Eu.py:65-66)
+    # input box, hard (NL_Planner_Eu.py:65-66), intersected with an SQP
+    # trust region around the linearisation inputs — the globalisation the
+    # reference gets from IPOPT's own line search (and the C++ MPCC gets
+    # from sqp_mixing, mpc.cpp:198-217); full-step SQP on the stiff tire
+    # dynamics oscillates without it
+    if u_trust is not None:
+        lo_d = jnp.maximum(-limits.max_ls, u_bar[:, 0] - u_trust[0])
+        hi_d = jnp.minimum(limits.max_rs, u_bar[:, 0] + u_trust[0])
+        lo_a = jnp.maximum(-limits.max_dc, u_bar[:, 1] - u_trust[1])
+        hi_a = jnp.minimum(limits.max_ac, u_bar[:, 1] + u_trust[1])
+    else:
+        lo_d = jnp.full((N,), -limits.max_ls)
+        hi_d = jnp.full((N,), limits.max_rs)
+        lo_a = jnp.full((N,), -limits.max_dc)
+        hi_a = jnp.full((N,), limits.max_ac)
     D = D.at[:, 2, NX + 0].set(1.0); E = E.at[:, 2, 0].set(1.0)
-    lo = lo.at[:, 2].set(-limits.max_ls); hi = hi.at[:, 2].set(limits.max_rs)
+    lo = lo.at[:, 2].set(lo_d.astype(dtype))
+    hi = hi.at[:, 2].set(hi_d.astype(dtype))
     D = D.at[:, 3, NX + 1].set(1.0); E = E.at[:, 3, 1].set(1.0)
-    lo = lo.at[:, 3].set(-limits.max_dc); hi = hi.at[:, 3].set(limits.max_ac)
+    lo = lo.at[:, 3].set(lo_a.astype(dtype))
+    hi = hi.at[:, 3].set(hi_a.astype(dtype))
 
     # slave distance rows: g_hat . p_{k+1} >= bound, soft (obs slack Qs[2],
     # NL_Planner_Eu.py:71). Disabled (lo = -inf) on master pairs.
@@ -200,7 +217,8 @@ def nl_solve(track: Track, gains: Gains, limits: SysLimits,
              lambdas: jnp.ndarray, neigh_xy: jnp.ndarray,
              master_mask: jnp.ndarray,
              w0=None, y0=None, rho_scale0=1.0,
-             sqp_iters: int = 2, sqp_mix: float = 1.0,
+             sqp_iters: int = 2, sqp_mix: float = 0.7,
+             u_trust=(0.06, 0.6),
              admm_iters: int = 100, rho: float = 10.0,
              eps: float = 1e-4) -> NLSolution:
     """One nonlinear OCD sub-problem solve (reference PlannerEu.solve).
@@ -215,7 +233,8 @@ def nl_solve(track: Track, gains: Gains, limits: SysLimits,
     def sqp_iter(carry, _):
         x_lin, u_lin, w, y, rs = carry
         qp = build_nl_qp(track, gains, limits, model, N, dt,
-                         x_lin, u_lin, lambdas, neigh_xy, master_mask)
+                         x_lin, u_lin, lambdas, neigh_xy, master_mask,
+                         u_trust=u_trust)
         sol = admm_solve(qp, z0, w0=w, y0=y, rho_scale0=rs,
                          iters=admm_iters, rho=rho, eps=eps, epoch_len=10)
         x_new = sol.z[:, :NX]
@@ -236,7 +255,8 @@ def nl_solve(track: Track, gains: Gains, limits: SysLimits,
 
     last = jax.tree.map(lambda a: a[-1], sols)
     qp_last = build_nl_qp(track, gains, limits, model, N, dt,
-                          x_fin, u_fin, lambdas, neigh_xy, master_mask)
+                          x_fin, u_fin, lambdas, neigh_xy, master_mask,
+                          u_trust=u_trust)
     return NLSolution(
         x_pred=x_fin, u_pred=u_fin,
         du_pred=last.c, s_pred=_violations(qp_last, last.z, last.c),

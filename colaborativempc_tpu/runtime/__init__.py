@@ -2,3 +2,13 @@ from colaborativempc_tpu.runtime.simulate import (
     FleetState, StepMetrics, ExperimentResult,
     make_lpv_fleet_step, init_lpv_fleet, run_lpv_experiment,
 )
+from colaborativempc_tpu.runtime.ocd import (
+    OCDFleetState, OCDStepMetrics, NLExperimentResult,
+    make_nl_ocd_step, init_nl_fleet, run_nl_experiment,
+)
+from colaborativempc_tpu.runtime.io import (
+    ExperimentIO, load_lambdas, load_experiment,
+)
+from colaborativempc_tpu.runtime.battery import (
+    gain_grid, run_lpv_battery, BatteryResult,
+)

@@ -1,0 +1,112 @@
+"""Experiment battery: parameter sweeps as vmapped scenario batches.
+
+The reference runs a SERIAL nested grid over horizons and gains, re-invoking
+the full experiment per combination (``planner/scripts/experiment_battery.py``
+:15-38 — with an unused ``active_threads = 3`` hinting at intended
+concurrency). TPU-native: gain combinations become a vmapped batch axis of
+the fleet step — every combination advances simultaneously on one chip (or
+sharded over a mesh, BASELINE.json config #5). Horizon sweeps change array
+shapes and therefore remain an outer host loop (one compile per N).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import NamedTuple, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from colaborativempc_tpu.config.params import (
+    ExperimentConfig, Gains, lpv_gains,
+)
+from colaborativempc_tpu.geometry import Track, make_track, check_end
+from colaborativempc_tpu.planners.lpv import lpv_solve, LPVSolution
+from colaborativempc_tpu.runtime.simulate import (
+    FleetState, init_lpv_fleet, _neighbour_index,
+)
+
+
+def gain_grid(base: Gains, q_vx=None, q_ey=None, q_epsi=None,
+              dr_scale=None, wq=None) -> list[Gains]:
+    """Build the cartesian gain grid (reference sweeps Qvx, Qey, Qew, QdU,
+    QU, experiment_battery.py:15-27)."""
+    q_vx = q_vx if q_vx is not None else [float(base.q[0])]
+    q_ey = q_ey if q_ey is not None else [float(base.q[3])]
+    q_epsi = q_epsi if q_epsi is not None else [float(base.q[4])]
+    dr_scale = dr_scale if dr_scale is not None else [1.0]
+    wq = wq if wq is not None else [base.wq]
+    out = []
+    for vx, ey, ep, drs, w in itertools.product(q_vx, q_ey, q_epsi,
+                                                dr_scale, wq):
+        q = np.asarray(base.q).copy()
+        q[0], q[3], q[4] = vx, ey, ep
+        out.append(Gains(q=jnp.asarray(q), qs=base.qs, r=base.r,
+                         dr=base.dr * drs, wq=w))
+    return out
+
+
+class BatteryResult(NamedTuple):
+    states: np.ndarray      # (T, n_cfg, n_agents, 9)
+    min_dist_exec: np.ndarray  # (T, n_cfg)
+    feasible: np.ndarray    # (T, n_cfg, n_agents)
+    progress: np.ndarray    # (n_cfg,) final mean s per config
+    n_configs: int
+
+
+def run_lpv_battery(cfg: ExperimentConfig, grid: Sequence[Gains],
+                    steps: int, track: Track | None = None) -> BatteryResult:
+    """Advance every gain combination in lock-step as one vmapped batch."""
+    if track is None:
+        track = make_track(cfg.map_type)
+    n_cfg = len(grid)
+    gains_batch = jax.tree.map(lambda *xs: jnp.stack(
+        [jnp.asarray(x, jnp.float32) for x in xs]), *grid)
+
+    ns = jnp.asarray(_neighbour_index(cfg.n_agents))
+    multi = cfg.n_agents > 1
+
+    def one_agent(gains, x0, x_lin, u_lin, u_old, w, y, rs, neigh):
+        return lpv_solve(
+            track, gains, cfg.limits, cfg.model, cfg.N, cfg.dt,
+            x0, x_lin, u_lin, u_old, neigh if multi else None,
+            w0=w, y0=y, rho_scale0=rs,
+            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho)
+
+    def fleet_step(gains, state: FleetState):
+        agents_xy = jnp.swapaxes(state.x_pred[:, :, 7:9], 0, 1)
+        neigh = jnp.swapaxes(agents_xy[:, ns, :], 0, 1)
+        sol: LPVSolution = jax.vmap(
+            lambda *a: one_agent(gains, *a))(
+            state.x0, state.x_pred, state.u_pred, state.u_old,
+            state.w, state.y, state.rho_scale, neigh)
+        new_state = FleetState(
+            x0=sol.x_pred[:, 1, :], x_pred=sol.x_pred, u_pred=sol.u_pred,
+            u_old=sol.u_pred[:, 0, :], w=sol.w, y=sol.y,
+            rho_scale=sol.rho_scale)
+        pe = sol.x_pred[:, 1, 7:9]
+        de = jnp.sqrt(jnp.sum((pe[:, None] - pe[None, :]) ** 2, axis=-1)
+                      + 1e-12) + jnp.eye(pe.shape[0]) * 1e9
+        return new_state, (jnp.min(de), sol.feasible)
+
+    sweep_step = jax.jit(jax.vmap(fleet_step))
+
+    state = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (n_cfg,) + x.shape).copy(),
+        init_lpv_fleet(track, cfg))
+
+    states_h, dist_h, feas_h = [], [], []
+    for _ in range(steps):
+        state, (min_de, feas) = sweep_step(gains_batch, state)
+        states_h.append(np.asarray(state.x0))
+        dist_h.append(np.asarray(min_de))
+        feas_h.append(np.asarray(feas))
+
+    states_h = np.asarray(states_h)
+    return BatteryResult(
+        states=states_h,
+        min_dist_exec=np.asarray(dist_h),
+        feasible=np.asarray(feas_h),
+        progress=states_h[-1, :, :, 6].mean(axis=-1),
+        n_configs=n_cfg)

@@ -1,0 +1,152 @@
+"""Experiment IO: metrics accumulation, console progress, on-disk schema.
+
+Re-implements the reference's observability layer with the SAME on-disk
+schema so downstream analysis (their MATLAB/pandas post-processing,
+``fix_time_NL.py``) keeps working:
+
+- per-agent CSV tables under  <path>/csv/<agent_id>/
+    states.dat, u.dat, plan_dist.dat, time.dat, time_OCD.dat, OCD_it.dat
+  (reference ``config/base_class.py:64-99``)
+- per-agent pickles under <path>/pck/<agent_id>/ (states.pkl, u.pkl) and
+  the dual warm-start pickle ini_lambdas.pkl
+  (``base_class.py:102-141``, ``NL_EU_N_main.py:174-175``)
+- settings.csv snapshot (``utilities/misc.py:264-275``)
+- verbosity-tiered console progress (``IOmodule/IOmodule.py:54-130``)
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import os
+import pickle
+import time
+from typing import Optional
+
+import numpy as np
+
+
+class ExperimentIO:
+    """Accumulates per-step fleet data and writes the reference schema.
+
+    Plugs into run_lpv_experiment / run_nl_experiment via the ``io`` hook
+    (called once per control step with (it, state, metrics, step_time)).
+    """
+
+    def __init__(self, cfg, path: Optional[str] = None):
+        self.cfg = cfg
+        self.path = path if path is not None else cfg.path
+        self.verb = cfg.verb
+        self.n_agents = cfg.n_agents
+        self.states = [[] for _ in range(cfg.n_agents)]
+        self.inputs = [[] for _ in range(cfg.n_agents)]
+        self.look_ahead = [[] for _ in range(cfg.n_agents)]
+        self.s_pred_hist = [[] for _ in range(cfg.n_agents)]
+        self.u_pred_hist = [[] for _ in range(cfg.n_agents)]
+        self.step_times = []
+        self.ocd_iters = []
+        self._t0 = time.time()
+
+    # ---- io_class-compatible hooks --------------------------------------
+    def tic(self):
+        self._tic = time.time()
+
+    def toc(self):
+        self.step_times.append(time.time() - self._tic)
+
+    def update(self, it, state, metrics, step_time):
+        x_pred = np.asarray(state.x_pred)      # (n_ag, N+1, 9)
+        u_pred = np.asarray(state.u_pred)
+        for a in range(self.n_agents):
+            self.states[a].append(np.asarray(state.x0)[a])
+            self.inputs[a].append(np.asarray(state.u_old)[a])
+            # look-ahead distance = s horizon span (base_class.py:51)
+            self.look_ahead[a].append(x_pred[a, -1, 6] - x_pred[a, 0, 6])
+            self.s_pred_hist[a].append(x_pred[a])
+            self.u_pred_hist[a].append(u_pred[a])
+        self.step_times.append(step_time)
+        if hasattr(metrics, "ocd_iterations"):
+            self.ocd_iters.append(int(metrics.ocd_iterations))
+
+        if self.verb >= 1:
+            s = np.asarray(state.x0)[:, 6]
+            print(f"[step {it}] t={time.time() - self._t0:6.1f}s "
+                  f"s={np.array2string(s, precision=2)} "
+                  f"step_time={step_time * 1e3:.1f}ms")
+        if self.verb >= 2 and hasattr(metrics, "min_dist_exec"):
+            print(f"         min_dist_exec={float(metrics.min_dist_exec):.3f}"
+                  f" feasible={np.asarray(metrics.feasible)}")
+
+    # ---- persistence (reference schema) ----------------------------------
+    def save_to_csv(self):
+        for a in range(self.n_agents):
+            d = os.path.join(self.path, "csv", str(a))
+            os.makedirs(d, exist_ok=True)
+            np.savetxt(os.path.join(d, "states.dat"),
+                       np.asarray(self.states[a]), fmt="%.5e", delimiter=" ")
+            np.savetxt(os.path.join(d, "u.dat"),
+                       np.asarray(self.inputs[a]), fmt="%.5e", delimiter=" ")
+            np.savetxt(os.path.join(d, "plan_dist.dat"),
+                       np.asarray(self.look_ahead[a]), fmt="%.5e",
+                       delimiter=" ")
+            np.savetxt(os.path.join(d, "time.dat"),
+                       np.asarray(self.step_times), fmt="%.5e",
+                       delimiter=" ")
+            if self.ocd_iters:
+                np.savetxt(os.path.join(d, "OCD_it.dat"),
+                           np.asarray(self.ocd_iters), fmt="%.5e",
+                           delimiter=" ")
+
+    def save_exp(self):
+        """Full prediction histories for replay (base_class.py:125-141)."""
+        for a in range(self.n_agents):
+            d = os.path.join(self.path, "pck", str(a))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "states.pkl"), "wb") as f:
+                pickle.dump(self.s_pred_hist[a], f)
+            with open(os.path.join(d, "u.pkl"), "wb") as f:
+                pickle.dump(self.u_pred_hist[a], f)
+
+    def save_lambdas(self, lambdas, name="ini_lambdas"):
+        d = os.path.join(self.path, "pck")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{name}.pkl"), "wb") as f:
+            pickle.dump(np.asarray(lambdas), f)
+
+    def save_config(self, name="settings"):
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, f"{name}.csv"), "w",
+                  newline="") as f:
+            w = csv.writer(f)
+            for field in dataclasses.fields(self.cfg):
+                w.writerow([field.name, getattr(self.cfg, field.name)])
+
+    def save_all(self, lambdas=None):
+        self.save_config()
+        self.save_to_csv()
+        self.save_exp()
+        if lambdas is not None:
+            self.save_lambdas(lambdas)
+
+
+def load_lambdas(path, n_agents, N):
+    """Dual warm-start loader: missing file degrades to zeros with a warning
+    (reference misc.py:218-231)."""
+    try:
+        with open(path, "rb") as f:
+            lam = pickle.load(f)
+        return np.asarray(lam)
+    except Exception as e:  # noqa: BLE001 - mirror reference behaviour
+        import warnings
+        warnings.warn(f"unable to load lambdas ({e}), defaulting to 0s")
+        return np.zeros((n_agents, n_agents, N))
+
+
+def load_experiment(path, agent_id):
+    """Replay loader (reference eval_exp.py)."""
+    d = os.path.join(path, "pck", str(agent_id))
+    with open(os.path.join(d, "states.pkl"), "rb") as f:
+        states = pickle.load(f)
+    with open(os.path.join(d, "u.pkl"), "rb") as f:
+        u = pickle.load(f)
+    return states, u

@@ -1,0 +1,246 @@
+"""OCD (Optimality Condition Decomposition) dual coordination runtime.
+
+The reference implements this loop three times over — in-process
+(``planner/scripts/NL_EU_N_main.py:100-168``, ``NL_HP_N_main.py:98-163``)
+and asynchronously over ROS flags (``OCD_ROS_main.py:172-241``). Here it is
+a first-class library component: ONE jitted ``lax.while_loop`` whose body
+runs all agents' SQP solves (vmapped; shard_map over a mesh for multi-chip),
+exchanges trajectories (tensor transpose / all_gather), applies the dual
+ascent lambda += alpha * (dth - dist) on master pairs
+(``NL_EU_N_main.py:130-139``, alpha = 0.25 from ``NL/config.py:5-8``), and
+tests convergence exactly like the reference: all agents' trajectories
+within atol for ``it_conv`` consecutive iterations, at least ``min_it_ocd``
+iterations, capped at ``max_it_ocd`` (``NL_EU_N_main.py:141-162``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from colaborativempc_tpu.config.params import ExperimentConfig, nl_gains
+from colaborativempc_tpu.geometry import Track, make_track, check_end
+from colaborativempc_tpu.planners.nl import nl_solve, NLSolution
+from colaborativempc_tpu.runtime.simulate import _neighbour_index
+from colaborativempc_tpu.utils.warmstart import initialise_agents
+from colaborativempc_tpu.config.params import x0_database
+
+
+class OCDFleetState(NamedTuple):
+    """Carried across control steps."""
+    x0: jnp.ndarray        # (n_ag, 9)
+    x_pred: jnp.ndarray    # (n_ag, N+1, 9)
+    u_pred: jnp.ndarray    # (n_ag, N, 2)
+    u_old: jnp.ndarray     # (n_ag, 2)
+    lambdas: jnp.ndarray   # (n_ag, n_ag, N) coupling prices (persist!)
+    w: jnp.ndarray         # (n_ag, N, m)
+    y: jnp.ndarray
+    rho_scale: jnp.ndarray
+
+
+class _OCDLoopState(NamedTuple):
+    x_pred: jnp.ndarray
+    u_pred: jnp.ndarray
+    x_old: jnp.ndarray
+    lambdas: jnp.ndarray
+    w: jnp.ndarray
+    y: jnp.ndarray
+    rho_scale: jnp.ndarray
+    it_ocd: jnp.ndarray
+    conv_count: jnp.ndarray
+    finished: jnp.ndarray
+    feasible: jnp.ndarray
+
+
+class OCDStepMetrics(NamedTuple):
+    ocd_iterations: jnp.ndarray  # scalar: inner iterations this step
+    feasible: jnp.ndarray        # (n_ag,)
+    min_dist: jnp.ndarray        # min predicted pairwise distance
+    min_dist_exec: jnp.ndarray   # min executed pairwise distance
+    lambda_max: jnp.ndarray      # max |lambda|
+
+
+def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
+    """Build the jitted one-control-step function: a full OCD inner loop."""
+    gains = cfg.gains if cfg.gains is not None else nl_gains()
+    n_ag = cfg.n_agents
+    N = cfg.N
+    ns = jnp.asarray(_neighbour_index(n_ag))                    # (n_ag, n_nb)
+    ids = jnp.arange(n_ag)
+    # master_mask[i, j] = 1 where i < ns[i, j] (price in ego's cost;
+    # reference NL_Planner_Eu.py:45-50)
+    master_mask = (ids[:, None] < ns).astype(jnp.float32)
+    ocd = cfg.ocd
+
+    def one_agent(x0, x_bar, u_bar, u_old, lam_i, neigh_xy, mmask, w, y, rs):
+        return nl_solve(
+            track, gains, cfg.limits, cfg.model, N, cfg.dt,
+            x0, x_bar, u_bar, u_old, lam_i, neigh_xy, mmask,
+            w0=w, y0=y, rho_scale0=rs,
+            sqp_iters=cfg.solver.sqp_iters, sqp_mix=cfg.solver.line_search,
+            u_trust=(cfg.solver.u_trust_delta, cfg.solver.u_trust_acc),
+            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho)
+
+    def ocd_iteration(st: _OCDLoopState, x0, u_old) -> _OCDLoopState:
+        agents_xy = jnp.swapaxes(st.x_pred[:, :, 7:9], 0, 1)  # (N+1, n_ag, 2)
+        neigh = jnp.swapaxes(agents_xy[:, ns, :], 0, 1)       # (n_ag,N+1,nb,2)
+        lam = st.lambdas[ids[:, None], ns, :]                 # (n_ag, nb, N)
+
+        sol: NLSolution = jax.vmap(one_agent)(
+            x0, st.x_pred, st.u_pred, u_old, lam, neigh, master_mask,
+            st.w, st.y, st.rho_scale)
+
+        # dual ascent on master pairs i < j (NL_EU_N_main.py:130-139):
+        # lambda[i, j, k] += alpha * (dth - ||p_i(k+1) - p_j(k+1)||)
+        p = sol.x_pred[:, 1:, 7:9]                            # (n_ag, N, 2)
+        diff = p[:, None, :, :] - p[None, :, :, :]            # (i, j, N, 2)
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-9)
+        g = cfg.limits.min_dist - dist                        # (i, j, N)
+        upper = (ids[:, None] < ids[None, :]).astype(g.dtype)[:, :, None]
+        lambdas = st.lambdas + ocd.alpha * g * upper
+
+        # convergence test (NL_EU_N_main.py:141-157)
+        conv = jnp.all(jnp.abs(st.x_pred - sol.x_pred) < ocd.atol)
+        conv_count = jnp.where(conv, st.conv_count + 1, 0)
+        finished = (conv_count > ocd.it_conv) | (st.it_ocd >= ocd.max_it_ocd)
+
+        return _OCDLoopState(
+            x_pred=sol.x_pred, u_pred=sol.u_pred, x_old=st.x_pred,
+            lambdas=lambdas, w=sol.w, y=sol.y, rho_scale=sol.rho_scale,
+            it_ocd=st.it_ocd + 1, conv_count=conv_count,
+            finished=finished, feasible=sol.feasible)
+
+    def step(state: OCDFleetState):
+        loop0 = _OCDLoopState(
+            x_pred=state.x_pred, u_pred=state.u_pred, x_old=state.x_pred,
+            lambdas=state.lambdas, w=state.w, y=state.y,
+            rho_scale=state.rho_scale,
+            it_ocd=jnp.asarray(0), conv_count=jnp.asarray(0),
+            finished=jnp.asarray(False),
+            feasible=jnp.ones((n_ag,), bool))
+
+        def cond(st):
+            # force min_it_ocd, run until finished (NL_EU_N_main.py:105)
+            return ~((st.it_ocd > ocd.min_it_ocd) & st.finished)
+
+        out = jax.lax.while_loop(
+            cond, lambda st: ocd_iteration(st, state.x0, state.u_old), loop0)
+
+        # control-step shift (NL_EU_N_main.py:170-172): x0 <- x_pred[1],
+        # linearisation trajectory <- shifted prediction
+        x_shift = jnp.concatenate(
+            [out.x_pred[:, 1:], out.x_pred[:, -1:]], axis=1)
+        u_shift = jnp.concatenate(
+            [out.u_pred[:, 1:], out.u_pred[:, -1:]], axis=1)
+        new_state = OCDFleetState(
+            x0=out.x_pred[:, 1, :],
+            x_pred=x_shift, u_pred=u_shift,
+            u_old=out.u_pred[:, 0, :],
+            lambdas=out.lambdas, w=out.w, y=out.y,
+            rho_scale=out.rho_scale)
+
+        p = out.x_pred[:, 1:, 7:9]
+        diff = p[:, None] - p[None, :]
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+        dist = dist + jnp.eye(n_ag)[:, :, None] * 1e9
+        pe = out.x_pred[:, 1, 7:9]
+        de = jnp.sqrt(jnp.sum((pe[:, None] - pe[None, :]) ** 2, axis=-1)
+                      + 1e-12) + jnp.eye(n_ag) * 1e9
+        metrics = OCDStepMetrics(
+            ocd_iterations=out.it_ocd,
+            feasible=out.feasible,
+            min_dist=jnp.min(dist),
+            min_dist_exec=jnp.min(de),
+            lambda_max=jnp.max(jnp.abs(out.lambdas)))
+        return new_state, metrics
+
+    return jax.jit(step)
+
+
+def init_nl_fleet(track: Track, cfg: ExperimentConfig,
+                  x0s: Optional[np.ndarray] = None,
+                  lambdas0: Optional[np.ndarray] = None) -> OCDFleetState:
+    """Initial fleet state; ``lambdas0`` warm-starts the duals (the
+    reference's ini_lambdas pickle, misc.py:218-231)."""
+    dtype = jnp.float32 if cfg.dtype == "float32" else jnp.float64
+    if x0s is None:
+        x0s = x0_database(cfg.n_agents)
+    x0s = jnp.asarray(x0s, dtype)
+    _, x_pred, u_pred = initialise_agents(track, x0s, cfg.N, cfg.dt)
+    n_nb = max(cfg.n_agents - 1, 1)
+    m = 4 + n_nb
+    if lambdas0 is None:
+        lambdas0 = jnp.zeros((cfg.n_agents, cfg.n_agents, cfg.N), dtype)
+    else:
+        lambdas0 = jnp.asarray(lambdas0, dtype)
+    return OCDFleetState(
+        x0=x_pred[:, 0, :], x_pred=x_pred, u_pred=u_pred,
+        u_old=jnp.zeros((cfg.n_agents, 2), dtype),
+        lambdas=lambdas0,
+        w=jnp.zeros((cfg.n_agents, cfg.N, m), dtype),
+        y=jnp.zeros((cfg.n_agents, cfg.N, m), dtype),
+        rho_scale=jnp.ones((cfg.n_agents,), dtype))
+
+
+class NLExperimentResult(NamedTuple):
+    states: np.ndarray
+    inputs: np.ndarray
+    feasible: np.ndarray
+    min_dist: np.ndarray
+    min_dist_exec: np.ndarray
+    ocd_iterations: np.ndarray
+    step_times: np.ndarray
+    lambdas: np.ndarray     # final duals (cross-run warm start)
+    steps: int
+    finished: bool
+
+
+def run_nl_experiment(cfg: ExperimentConfig,
+                      x0s: Optional[np.ndarray] = None,
+                      lambdas0: Optional[np.ndarray] = None,
+                      track: Optional[Track] = None,
+                      io=None) -> NLExperimentResult:
+    """Closed-loop distributed NL-OCD experiment (reference
+    ``NL_EU_N_main.main``)."""
+    if track is None:
+        track = make_track(cfg.map_type)
+    state = init_nl_fleet(track, cfg, x0s, lambdas0)
+    step = make_nl_ocd_step(track, cfg)
+
+    hist = {k: [] for k in ("states", "inputs", "feas", "dist", "dist_e",
+                            "ocd_it", "times")}
+    finished = False
+    it = 0
+    while it < cfg.max_it:
+        t0 = time.time()
+        state, metrics = step(state)
+        state = jax.block_until_ready(state)
+        hist["times"].append(time.time() - t0)
+        hist["states"].append(np.asarray(state.x0))
+        hist["inputs"].append(np.asarray(state.u_old))
+        hist["feas"].append(np.asarray(metrics.feasible))
+        hist["dist"].append(float(metrics.min_dist))
+        hist["dist_e"].append(float(metrics.min_dist_exec))
+        hist["ocd_it"].append(int(metrics.ocd_iterations))
+        if io is not None:
+            io.update(it, state, metrics, hist["times"][-1])
+        if not bool(np.all(hist["feas"][-1])):
+            break
+        if bool(np.any(np.asarray(
+                check_end(track, state.x0[:, 6], laps=cfg.laps)))):
+            finished = True
+            break
+        it += 1
+
+    return NLExperimentResult(
+        states=np.asarray(hist["states"]), inputs=np.asarray(hist["inputs"]),
+        feasible=np.asarray(hist["feas"]), min_dist=np.asarray(hist["dist"]),
+        min_dist_exec=np.asarray(hist["dist_e"]),
+        ocd_iterations=np.asarray(hist["ocd_it"]),
+        step_times=np.asarray(hist["times"]),
+        lambdas=np.asarray(state.lambdas),
+        steps=len(hist["states"]), finished=finished)

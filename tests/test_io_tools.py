@@ -1,0 +1,105 @@
+"""IO schema, plotting, battery sweep and rollout-validation tests."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from colaborativempc_tpu.config import (
+    ExperimentConfig, lpv_gains, SolverConfig, x0_database, ModelParams,
+)
+from colaborativempc_tpu.geometry import make_track
+from colaborativempc_tpu.runtime import run_lpv_experiment
+from colaborativempc_tpu.runtime.io import (
+    ExperimentIO, load_lambdas, load_experiment,
+)
+from colaborativempc_tpu.runtime.battery import gain_grid, run_lpv_battery
+from colaborativempc_tpu.runtime.plotting import (
+    plot_experiment, plot_performance, plot_track,
+)
+from colaborativempc_tpu.utils.rollout import rollout_euler, rollout_rk4
+from colaborativempc_tpu.utils import initialise_agents
+
+
+def test_io_schema(tmp_path):
+    """The on-disk schema must match the reference layout
+    (csv/<id>/{states,u,plan_dist,time}.dat, pck/<id>/{states,u}.pkl,
+    settings.csv)."""
+    cfg = ExperimentConfig(n_agents=2, N=10, dt=0.025, max_it=6,
+                           map_type="oval", gains=lpv_gains(),
+                           path=str(tmp_path), verb=0)
+    io = ExperimentIO(cfg)
+    res = run_lpv_experiment(cfg, io=io)
+    io.save_all(lambdas=np.zeros((2, 2, cfg.N)))
+
+    for a in range(2):
+        for f in ["states.dat", "u.dat", "plan_dist.dat", "time.dat"]:
+            p = tmp_path / "csv" / str(a) / f
+            assert p.exists(), f
+        states = np.loadtxt(tmp_path / "csv" / str(a) / "states.dat")
+        assert states.shape == (res.steps, 9)
+    assert (tmp_path / "settings.csv").exists()
+    assert (tmp_path / "pck" / "ini_lambdas.pkl").exists()
+
+    s_hist, u_hist = load_experiment(str(tmp_path), 0)
+    assert len(s_hist) == res.steps
+    assert s_hist[0].shape == (cfg.N + 1, 9)
+
+    lam = load_lambdas(str(tmp_path / "pck" / "ini_lambdas.pkl"), 2, cfg.N)
+    assert lam.shape == (2, 2, cfg.N)
+
+
+def test_load_lambdas_missing_degrades():
+    with pytest.warns(UserWarning):
+        lam = load_lambdas("/nonexistent/x.pkl", 3, 10)
+    assert (lam == 0).all()
+
+
+def test_plotting(tmp_path):
+    track = make_track("oval")
+    states = np.zeros((20, 2, 9))
+    states[:, 0, 7] = np.linspace(0, 2, 20); states[:, 0, 8] = 1.1
+    states[:, 1, 7] = np.linspace(0, 2, 20); states[:, 1, 8] = 0.9
+    out = plot_experiment(track, states, path=str(tmp_path))
+    assert os.path.exists(out)
+    out2 = plot_performance(states, 0.025, path=str(tmp_path))
+    assert os.path.exists(out2)
+
+
+def test_battery_sweep():
+    """Vmapped gain sweep: all configs advance, aggressive ey weight tracks
+    the lane tighter than a loose one."""
+    cfg = ExperimentConfig(n_agents=2, N=10, dt=0.025, map_type="oval",
+                           gains=lpv_gains(),
+                           solver=SolverConfig(admm_iters=200))
+    grid = gain_grid(lpv_gains(), q_ey=[2.0, 200.0])
+    res = run_lpv_battery(cfg, grid, steps=25)
+    assert res.n_configs == 2
+    assert res.feasible.all()
+    assert (res.progress > 0.5).all()
+    # both configs must make comparable progress; higher ey weight -> ey
+    # closer to zero on average
+    ey = np.abs(res.states[10:, :, :, 3]).mean(axis=(0, 2))
+    assert ey[1] <= ey[0] + 1e-4
+
+
+def test_rollout_validates_model():
+    """Euler rollout (the LPV_val parity path) vs RK4 plant: same inputs,
+    trajectories stay close over a short window (discretisation check,
+    reference eval_LPV_model.py)."""
+    track = make_track("oval")
+    x0s = jnp.asarray(x0_database(1), jnp.float32)
+    _, x_pred, _ = initialise_agents(track, x0s, 10, 0.02)
+    x0 = x_pred[0][0]
+    us = jnp.tile(jnp.asarray([[0.02, 0.5]], jnp.float32), (25, 1))
+    xe = np.asarray(rollout_euler(track, x0, us, 0.02))
+    xr = np.asarray(rollout_rk4(track, x0, us, 0.02, substeps=4))
+    assert np.all(np.isfinite(xe))
+    # the lateral-velocity subsystem is stiff: Euler overshoots the initial
+    # vy transient (both settle to the same equilibrium); compare after it
+    err_post = np.abs(xe[5:] - xr[5:]).max()
+    assert err_post < 0.02, err_post
+    assert np.abs(xe[:, [6, 7, 8]] - xr[:, [6, 7, 8]]).max() < 0.01
+    # progress happened
+    assert float(xe[-1, 6]) > 0.5

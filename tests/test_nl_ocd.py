@@ -1,0 +1,101 @@
+"""Nonlinear SQP planner + OCD coordination tests.
+
+Validation targets from the reference NL experiments (NL_EU_N_main.py +
+NL_3agents_def data): OCD converges in a few iterations per control step,
+agents track the reference velocity, keep separation, and the converged
+trajectories satisfy the NONLINEAR dynamics (not just the LPV surrogate).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from colaborativempc_tpu.config import (
+    ExperimentConfig, nl_gains, SolverConfig, OCDConfig, ModelParams,
+)
+from colaborativempc_tpu.dynamics import f_continuous
+from colaborativempc_tpu.geometry import make_track, curvature
+from colaborativempc_tpu.runtime.ocd import (
+    init_nl_fleet, make_nl_ocd_step, run_nl_experiment,
+)
+
+
+def nl_cfg(**kw):
+    base = dict(n_agents=3, N=15, dt=0.02, max_it=60, map_type="Highway",
+                gains=nl_gains(), ocd=OCDConfig(max_it_ocd=30),
+                solver=SolverConfig(admm_iters=200, sqp_iters=2))
+    base.update(kw)
+    return ExperimentConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def nl_run():
+    cfg = nl_cfg()
+    return cfg, run_nl_experiment(cfg)
+
+
+def test_ocd_converges_quickly(nl_run):
+    cfg, res = nl_run
+    assert res.steps > 30
+    assert res.feasible.all()
+    # reference converges in ~4 OCD iterations per step (OCD_it.dat mean=4);
+    # allow headroom but catch divergence
+    assert float(res.ocd_iterations[5:].mean()) < 15
+    assert int(res.ocd_iterations.max()) <= cfg.ocd.max_it_ocd + 1
+
+
+def test_nl_agents_progress_and_separate(nl_run):
+    cfg, res = nl_run
+    s = res.states[:, :, 6]
+    assert (s[-1] > 0.5).all()
+    assert (np.diff(s, axis=0) > -1e-3).all()
+    # OCD's dual prices are an integral controller: separation can sag
+    # slightly below dth while lambda ramps, then recovers (the reference
+    # behaves the same; its slack-warn threshold is 0.1). Executed
+    # separation must stay within ~20% of dth and never collapse.
+    assert res.min_dist_exec.min() > cfg.limits.min_dist * 0.8
+
+
+def test_nl_velocity_tracking(nl_run):
+    cfg, res = nl_run
+    vx = res.states[:, :, 0]
+    assert float(vx[-1].mean()) > vx[0].mean()   # accelerating toward ref
+    assert float(vx.max()) < cfg.limits.max_vel + 0.1
+
+
+def test_sqp_satisfies_nonlinear_dynamics():
+    """At SQP convergence the prediction must satisfy the nonlinear model:
+    x_{k+1} = x_k + dt f(x_k, u_k) to linearisation-error accuracy."""
+    cfg = nl_cfg(solver=SolverConfig(admm_iters=300, sqp_iters=4))
+    track = make_track(cfg.map_type)
+    state = init_nl_fleet(track, cfg)
+    step = make_nl_ocd_step(track, cfg)
+    for _ in range(3):
+        state, m = step(state)
+    p = ModelParams()
+    x = np.asarray(state.x_pred)
+    u = np.asarray(state.u_pred)
+    # x_pred in the carried state is the shifted trajectory; re-simulate
+    # stage transitions with the nonlinear model
+    worst = 0.0
+    for a in range(cfg.n_agents):
+        for k in range(cfg.N - 1):
+            kap = float(curvature(track, x[a, k, 6]))
+            f = np.asarray(f_continuous(jnp.asarray(x[a, k]),
+                                        jnp.asarray(u[a, k]), kap, p))
+            defect = x[a, k + 1] - (x[a, k] + cfg.dt * f)
+            worst = max(worst, float(np.abs(defect).max()))
+    assert worst < 1e-2, worst
+
+
+def test_lambda_warm_start_round_trip():
+    """Duals returned by one run seed the next (the reference's ini_lambdas
+    pickle round trip, NL_EU_N_main.py:174-175 + misc.py:218-231)."""
+    cfg = nl_cfg(max_it=5)
+    res1 = run_nl_experiment(cfg)
+    assert res1.lambdas.shape == (3, 3, cfg.N)
+    res2 = run_nl_experiment(cfg, lambdas0=res1.lambdas)
+    assert res2.feasible.all()
+    # warm duals should not slow coordination down
+    assert res2.ocd_iterations.mean() <= res1.ocd_iterations.mean() + 2
