@@ -108,6 +108,7 @@ class ExperimentConfig:
     """
     n_agents: int = 3
     N: int = 20                  # prediction horizon
+    coupling: str = "eu"         # NL coupling: "eu" | "hp" 
     dt: float = 0.02
     max_it: int = 1000           # outer control-step cap
     map_type: str = "Highway"

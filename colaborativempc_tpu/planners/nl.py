@@ -91,7 +91,8 @@ def build_nl_qp(track: Track, gains: Gains, limits: SysLimits,
                 x_bar: jnp.ndarray, u_bar: jnp.ndarray,
                 lambdas: jnp.ndarray, neigh_xy: jnp.ndarray,
                 master_mask: jnp.ndarray,
-                u_trust: Optional[tuple] = (0.06, 0.6)) -> StageQP:
+                u_trust: Optional[tuple] = (0.06, 0.6),
+                coupling: str = "eu") -> StageQP:
     """Assemble the SQP inner QP around (x_bar, u_bar).
 
     Args:
@@ -99,6 +100,16 @@ def build_nl_qp(track: Track, gains: Gains, limits: SysLimits,
       neigh_xy: (N+1, n_nb, 2) neighbour plans (stage-aligned).
       master_mask: (n_nb,) 1.0 where ego id < neighbour id (price in cost),
         0.0 where ego is the slave (hard linearised distance row).
+      coupling: "eu" (Euclidean distance, reference NL_Planner_Eu.py) or
+        "hp" (separating hyperplanes, reference NL_Planner_Hp.py). For "hp"
+        every agent gets a plane row against every neighbour: the geometric
+        sign-flipped bisector each side computes coincides with the plane
+        the reference's master optimises and ships to slaves
+        (compute_plane.py:56-63), so the coupling becomes the symmetric
+        pair of soft rows  a.p_ego <= -dth/2 - b  (master side) and
+        a.p_ego >= +dth/2 - b after the sign flip (slave side), with the
+        dual price entering as half the Euclidean gradient (the bisector
+        moves at half the rate of the distance).
     """
     gains = gains._replace(qs=jnp.minimum(gains.qs, SOFT_WEIGHT_CAP))
     dtype = x_bar.dtype
@@ -120,11 +131,14 @@ def build_nl_qp(track: Track, gains: Gains, limits: SysLimits,
     q = q.at[1:, 0].set(-2.0 * gains.q[0] * limits.vx_ref)
 
     # master coupling price: d/dp [-lambda * ||p - p_n||] = -lambda * g_hat
+    # ("hp": the plane term's position gradient is half of that)
     p_bar = x_bar[1:, 7:9]                                  # (N, 2)
     diff = p_bar[:, None, :] - neigh_xy[1:]                 # (N, n_nb, 2)
     dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + _EPS)   # (N, n_nb)
     g_hat = diff / dist[..., None]
-    lam = jnp.swapaxes(lambdas, 0, 1) * master_mask[None, :]  # (N, n_nb)
+    price_scale = 0.5 if coupling == "hp" else 1.0
+    lam = (price_scale * jnp.swapaxes(lambdas, 0, 1)
+           * master_mask[None, :])                          # (N, n_nb)
     q = q.at[1:, 7].add(-jnp.sum(lam * g_hat[..., 0], axis=-1).astype(dtype))
     q = q.at[1:, 8].add(-jnp.sum(lam * g_hat[..., 1], axis=-1).astype(dtype))
     r = jnp.zeros((N, NC), dtype)
@@ -183,8 +197,6 @@ def build_nl_qp(track: Track, gains: Gains, limits: SysLimits,
     lo = lo.at[:, 3].set(lo_a.astype(dtype))
     hi = hi.at[:, 3].set(hi_a.astype(dtype))
 
-    # slave distance rows: g_hat . p_{k+1} >= bound, soft (obs slack Qs[2],
-    # NL_Planner_Eu.py:71). Disabled (lo = -inf) on master pairs.
     Dx_, Ex_ = next_state_rows(7)
     Dy_, Ey_ = next_state_rows(8)
     gx = g_hat[..., 0]; gy = g_hat[..., 1]
@@ -192,10 +204,23 @@ def build_nl_qp(track: Track, gains: Gains, limits: SysLimits,
     Eds = gx[:, :, None] * Ex_[:, None, :] + gy[:, :, None] * Ey_[:, None, :]
     D = D.at[:, 4:, :].set(Dds.astype(dtype))
     E = E.at[:, 4:, :].set(Eds.astype(dtype))
-    bound = (limits.min_dist - dist
-             + jnp.sum(g_hat * p_bar[:, None, :], axis=-1))
     slave = (1.0 - master_mask)[None, :]
-    lo = lo.at[:, 4:].set(jnp.where(slave > 0, bound.astype(dtype), -INF))
+    if coupling == "hp":
+        # symmetric plane rows (NL_Planner_Hp.py:89-98): each side keeps
+        # dth/2 from the bisector through the midpoint. In g_hat (ego->out)
+        # coordinates the bisector value at p is g_hat.(p - mid), so the
+        # row g_hat.p with offset g_hat.mid bounds BOTH roles from below:
+        mid = 0.5 * (p_bar[:, None, :] + neigh_xy[1:])
+        bound = (limits.min_dist / 2.0
+                 + jnp.sum(g_hat * mid, axis=-1))
+        lo = lo.at[:, 4:].set(bound.astype(dtype))
+    else:
+        # slave-only linearised distance rows, soft (obs slack Qs[2],
+        # NL_Planner_Eu.py:71). Disabled (lo = -inf) on master pairs.
+        bound = (limits.min_dist - dist
+                 + jnp.sum(g_hat * p_bar[:, None, :], axis=-1))
+        lo = lo.at[:, 4:].set(
+            jnp.where(slave > 0, bound.astype(dtype), -INF))
     soft_lo = soft_lo.at[:, 4:].set(gains.qs[2])
 
     return StageQP(dyn=dyn, cost=cost, D=D, E=E, lo=lo, hi=hi,
@@ -218,7 +243,7 @@ def nl_solve(track: Track, gains: Gains, limits: SysLimits,
              master_mask: jnp.ndarray,
              w0=None, y0=None, rho_scale0=1.0,
              sqp_iters: int = 2, sqp_mix: float = 0.7,
-             u_trust=(0.06, 0.6),
+             u_trust=(0.06, 0.6), coupling: str = "eu",
              admm_iters: int = 100, rho: float = 10.0,
              eps: float = 1e-4) -> NLSolution:
     """One nonlinear OCD sub-problem solve (reference PlannerEu.solve).
@@ -234,7 +259,7 @@ def nl_solve(track: Track, gains: Gains, limits: SysLimits,
         x_lin, u_lin, w, y, rs = carry
         qp = build_nl_qp(track, gains, limits, model, N, dt,
                          x_lin, u_lin, lambdas, neigh_xy, master_mask,
-                         u_trust=u_trust)
+                         u_trust=u_trust, coupling=coupling)
         sol = admm_solve(qp, z0, w0=w, y0=y, rho_scale0=rs,
                          iters=admm_iters, rho=rho, eps=eps, epoch_len=10)
         x_new = sol.z[:, :NX]
@@ -256,7 +281,7 @@ def nl_solve(track: Track, gains: Gains, limits: SysLimits,
     last = jax.tree.map(lambda a: a[-1], sols)
     qp_last = build_nl_qp(track, gains, limits, model, N, dt,
                           x_fin, u_fin, lambdas, neigh_xy, master_mask,
-                          u_trust=u_trust)
+                          u_trust=u_trust, coupling=coupling)
     return NLSolution(
         x_pred=x_fin, u_pred=u_fin,
         du_pred=last.c, s_pred=_violations(qp_last, last.z, last.c),

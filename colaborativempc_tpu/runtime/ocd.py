@@ -83,6 +83,7 @@ def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
             w0=w, y0=y, rho_scale0=rs,
             sqp_iters=cfg.solver.sqp_iters, sqp_mix=cfg.solver.line_search,
             u_trust=(cfg.solver.u_trust_delta, cfg.solver.u_trust_acc),
+            coupling=cfg.coupling,
             admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho)
 
     def ocd_iteration(st: _OCDLoopState, x0, u_old) -> _OCDLoopState:
@@ -95,11 +96,15 @@ def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
             st.w, st.y, st.rho_scale)
 
         # dual ascent on master pairs i < j (NL_EU_N_main.py:130-139):
-        # lambda[i, j, k] += alpha * (dth - ||p_i(k+1) - p_j(k+1)||)
+        # "eu": lambda += alpha * (dth - ||p_i - p_j||)
+        # "hp": lambda += alpha * (dth - dist)/2 - evaluating the reference's
+        #       eval_constraintHp on the geometric bisector (NL/config.py:25-29)
         p = sol.x_pred[:, 1:, 7:9]                            # (n_ag, N, 2)
         diff = p[:, None, :, :] - p[None, :, :, :]            # (i, j, N, 2)
         dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-9)
         g = cfg.limits.min_dist - dist                        # (i, j, N)
+        if cfg.coupling == "hp":
+            g = 0.5 * g
         upper = (ids[:, None] < ids[None, :]).astype(g.dtype)[:, :, None]
         lambdas = st.lambdas + ocd.alpha * g * upper
 

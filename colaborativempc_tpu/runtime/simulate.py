@@ -12,6 +12,7 @@ plant (x0 <- xPred[1], ``LPV_HP_N_main.py:106``).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import NamedTuple, Optional
 
@@ -148,19 +149,34 @@ class ExperimentResult(NamedTuple):
 def run_lpv_experiment(cfg: ExperimentConfig,
                        x0s: Optional[np.ndarray] = None,
                        track: Optional[Track] = None,
-                       io=None) -> ExperimentResult:
+                       io=None,
+                       checkpoint_path: Optional[str] = None,
+                       checkpoint_every: int = 50,
+                       profile_dir: Optional[str] = None) -> ExperimentResult:
     """Closed-loop decentralised LPV experiment (reference
     ``LPV_HP_N_main.main``). The host loop handles termination + IO; all
-    per-step compute is one jitted call."""
+    per-step compute is one jitted call.
+
+    ``checkpoint_path`` enables exact mid-run resume (runtime/checkpoint.py);
+    ``profile_dir`` wraps the loop in a jax.profiler trace (the framework's
+    tracing hook; the reference only had wall-clock tables, SURVEY.md §5.1).
+    """
+    from colaborativempc_tpu.runtime.checkpoint import (
+        save_checkpoint, load_checkpoint,
+    )
     if track is None:
         track = make_track(cfg.map_type)
     state = init_lpv_fleet(track, cfg, x0s)
+    it = 0
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        state, it = load_checkpoint(checkpoint_path, state)
     step = make_lpv_fleet_step(track, cfg)
+    if profile_dir is not None:
+        jax.profiler.start_trace(profile_dir)
 
     states, inputs, feas_h, dist_h, times, iters_h = [], [], [], [], [], []
     dist_exec_h = []
     finished = False
-    it = 0
     while it < cfg.max_it:
         t0 = time.time()
         state, metrics = step(state)
@@ -184,7 +200,13 @@ def run_lpv_experiment(cfg: ExperimentConfig,
             finished = True
             break
         it += 1
+        if checkpoint_path is not None and it % checkpoint_every == 0:
+            save_checkpoint(checkpoint_path, state, it)
 
+    if profile_dir is not None:
+        jax.profiler.stop_trace()
+    if checkpoint_path is not None:
+        save_checkpoint(checkpoint_path, state, it)
     return ExperimentResult(
         states=np.asarray(states), inputs=np.asarray(inputs),
         feasible=np.asarray(feas_h), min_dist=np.asarray(dist_h),

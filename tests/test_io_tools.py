@@ -2,6 +2,7 @@
 
 import os
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -103,3 +104,38 @@ def test_rollout_validates_model():
     assert np.abs(xe[:, [6, 7, 8]] - xr[:, [6, 7, 8]]).max() < 0.01
     # progress happened
     assert float(xe[-1, 6]) > 0.5
+
+
+def test_checkpoint_resume(tmp_path):
+    """Stopping and resuming from a checkpoint reproduces the uninterrupted
+    run exactly (same carried state => same trajectory)."""
+    from colaborativempc_tpu.runtime.checkpoint import (
+        save_checkpoint, load_checkpoint,
+    )
+    from colaborativempc_tpu.geometry import make_track
+    from colaborativempc_tpu.runtime import init_lpv_fleet, make_lpv_fleet_step
+
+    cfg = ExperimentConfig(n_agents=2, N=10, dt=0.025, max_it=10,
+                           map_type="oval", gains=lpv_gains())
+    track = make_track(cfg.map_type)
+    step = make_lpv_fleet_step(track, cfg)
+
+    state = init_lpv_fleet(track, cfg)
+    for _ in range(3):
+        state, _ = step(state)
+    ckpt = str(tmp_path / "state.npz")
+    save_checkpoint(ckpt, state, 3)
+
+    # continue directly
+    direct = state
+    for _ in range(3):
+        direct, _ = step(direct)
+
+    # resume from disk and continue
+    resumed, it = load_checkpoint(ckpt, init_lpv_fleet(track, cfg))
+    assert it == 3
+    for _ in range(3):
+        resumed, _ = step(resumed)
+
+    for a, b in zip(jax.tree.leaves(direct), jax.tree.leaves(resumed)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)

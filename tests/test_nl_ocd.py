@@ -99,3 +99,17 @@ def test_lambda_warm_start_round_trip():
     assert res2.feasible.all()
     # warm duals should not slow coordination down
     assert res2.ocd_iterations.mean() <= res1.ocd_iterations.mean() + 2
+
+
+def test_hp_coupling_variant():
+    """Hyperplane coupling (reference NL_Planner_Hp / NL_HP_N_main): agents
+    coordinate via separating-plane rows; behaviour comparable to Euclidean
+    coupling — separation kept, progress made."""
+    cfg = nl_cfg(coupling="hp", max_it=40)
+    res = run_nl_experiment(cfg)
+    assert res.steps > 25
+    assert res.feasible.all()
+    assert res.min_dist_exec.min() > cfg.limits.min_dist * 0.8
+    s = res.states[:, :, 6]
+    assert (s[-1] > 0.4).all()
+    assert float(res.ocd_iterations[5:].mean()) < 15
