@@ -1,0 +1,137 @@
+"""ctypes bindings to the native (C++) MPC stack in ``native/``.
+
+The native library is the float64 host twin of the on-device engine — same
+stage-QP layout, same Riccati+ADMM algorithm (native/src/). It plays the
+role the in-tree C++ MPCC plays for the reference (a native single-agent
+controller, MPCC-master/C++), and doubles as an independent cross-validation
+oracle for the JAX path.
+
+Build: ``cmake -B native/build -G Ninja native && ninja -C native/build``
+(tests do this automatically when the toolchain is available).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libcmpc.so")
+
+_lib = None
+
+
+def build(force: bool = False) -> str:
+    """Build the native library if needed; returns the .so path."""
+    if force or not os.path.exists(_LIB_PATH):
+        subprocess.run(["cmake", "-B", "build", "-G", "Ninja", "."],
+                       cwd=_NATIVE_DIR, check=True, capture_output=True)
+        subprocess.run(["ninja", "-C", "build"], cwd=_NATIVE_DIR,
+                       check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def load():
+    global _lib
+    if _lib is None:
+        path = build()
+        _lib = ctypes.CDLL(path)
+        dp = ctypes.POINTER(ctypes.c_double)
+        _lib.cmpc_lpv_solve_dt.restype = ctypes.c_int
+        _lib.cmpc_lpv_solve_dt.argtypes = [
+            ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+            dp, ctypes.c_double, ctypes.c_int,
+            dp, dp, dp, dp, dp, dp, dp, dp,
+            ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            dp, dp, dp,
+        ]
+        _lib.cmpc_step_rk4.restype = None
+        _lib.cmpc_step_rk4.argtypes = [
+            ctypes.c_int, dp, ctypes.c_double, ctypes.c_int,
+            dp, dp, ctypes.c_double, dp,
+        ]
+    return _lib
+
+
+def track_table(track, lane: int = 0) -> tuple[np.ndarray, float, int]:
+    """Flatten a geometry.Track into the (n_seg, 7) native table."""
+    seg = np.stack([
+        np.asarray(track.x0[lane], np.float64),
+        np.asarray(track.y0[lane], np.float64),
+        np.asarray(track.psi0[lane], np.float64),
+        np.nan_to_num(np.asarray(track.s0[lane], np.float64), posinf=1e12),
+        np.asarray(track.length[lane], np.float64),
+        np.asarray(track.curv[lane], np.float64),
+        np.asarray(track.halfwidth[lane], np.float64),
+    ], axis=-1)
+    return (np.ascontiguousarray(seg), float(track.track_length[lane]),
+            int(bool(track.open_flag)))
+
+
+def export_track_csv(track, path: str, lane: int = 0):
+    """Write the native sim binary's track CSV."""
+    seg, length, open_flag = track_table(track, lane)
+    with open(path, "w") as f:
+        f.write("# x0 y0 psi0 s0 len curv hw\n")
+        for row in seg:
+            f.write(" ".join(f"{v:.12g}" for v in row) + "\n")
+        f.write(f"length {length:.12g} {open_flag}\n")
+
+
+def _cptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def lpv_solve_native(track, gains, limits, model, N: int, dt: float,
+                     x0, x_lin, u_lin, u_old,
+                     neighbours_xy: Optional[np.ndarray] = None,
+                     iters: int = 600, rho: float = 10.0,
+                     eps: float = 1e-6):
+    """Native counterpart of planners.lpv.lpv_solve (float64).
+
+    Returns (feasible, x_pred (N+1, 9), u_pred (N, 2), residuals[3])."""
+    lib = load()
+    seg, length, open_flag = track_table(track)
+    n_nb = 0 if neighbours_xy is None else int(neighbours_xy.shape[1])
+    neigh = (np.zeros((N, 1, 2)) if neighbours_xy is None
+             else np.ascontiguousarray(
+                 np.asarray(neighbours_xy, np.float64)[:N]))
+
+    g = np.concatenate([
+        np.asarray(gains.q, np.float64), np.asarray(gains.qs, np.float64),
+        np.asarray(gains.r, np.float64), np.asarray(gains.dr, np.float64),
+        [float(gains.wq)]])
+    lim = np.asarray([limits.vx_ref, limits.min_dist, limits.max_vel,
+                      limits.min_vel, limits.max_rs, limits.max_ls,
+                      limits.max_ac, limits.max_dc, limits.sm], np.float64)
+    mp = np.asarray([model.lf, model.lr, model.m, model.I, model.Cf,
+                     model.Cr, model.mu], np.float64)
+
+    x_lin = np.ascontiguousarray(np.asarray(x_lin, np.float64))
+    u_lin = np.ascontiguousarray(np.asarray(u_lin, np.float64))
+    x0 = np.ascontiguousarray(np.asarray(x0, np.float64))
+    u_old = np.ascontiguousarray(np.asarray(u_old, np.float64))
+    x_out = np.zeros((N + 1, 9))
+    u_out = np.zeros((N, 2))
+    resid = np.zeros(3)
+
+    ok = lib.cmpc_lpv_solve_dt(
+        N, dt, n_nb, seg.shape[0], _cptr(seg), length, open_flag,
+        _cptr(x_lin), _cptr(u_lin), _cptr(x0), _cptr(u_old), _cptr(neigh),
+        _cptr(g), _cptr(lim), _cptr(mp), iters, rho, eps,
+        _cptr(x_out), _cptr(u_out), _cptr(resid))
+    return bool(ok), x_out, u_out, resid

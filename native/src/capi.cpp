@@ -1,0 +1,99 @@
+// C API for ctypes bindings (colaborativempc_tpu/native/__init__.py).
+// The reference exposes no C API; its native MPCC is driven only by its own
+// main.cpp. Here the native stack is a first-class library twin of the JAX
+// path, callable from Python for cross-validation and host-side serving.
+#include <cstring>
+
+#include "cmpc/model.h"
+#include "cmpc/solver.h"
+
+namespace cmpc {
+StageQP build_lpv_qp(const Track&, const Gains&, const Limits&,
+                     const ModelParams&, int, double, const double*,
+                     const double*, int, const double*);
+}
+
+using namespace cmpc;
+
+namespace {
+
+Track make_track_from_table(int n_seg, const double* seg, double length,
+                            int open_flag) {
+  Track t;
+  t.x0.resize(n_seg); t.y0.resize(n_seg); t.psi0.resize(n_seg);
+  t.s0.resize(n_seg); t.len.resize(n_seg); t.curv.resize(n_seg);
+  t.hw.resize(n_seg);
+  for (int i = 0; i < n_seg; ++i) {
+    t.x0[i] = seg[i * 7 + 0];
+    t.y0[i] = seg[i * 7 + 1];
+    t.psi0[i] = seg[i * 7 + 2];
+    t.s0[i] = seg[i * 7 + 3];
+    t.len[i] = seg[i * 7 + 4];
+    t.curv[i] = seg[i * 7 + 5];
+    t.hw[i] = seg[i * 7 + 6];
+  }
+  t.length = length;
+  t.open = open_flag != 0;
+  return t;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Solve one LPV collaborative-MPC problem. Layouts are row-major float64.
+// gains: q[9] qs[3] r[2] dr[2] wq  (17 doubles)
+// limits: vx_ref min_dist max_vel min_vel max_rs max_ls max_ac max_dc sm (9)
+// model: lf lr m I Cf Cr mu (7)
+// Returns 1 if feasible. x_out: (N+1)*9, u_out: N*2.
+int cmpc_lpv_solve_dt(int N, double dt, int n_nb, int n_seg,
+                      const double* seg, double track_len, int open_flag,
+                      const double* x_lin, const double* u_lin,
+                      const double* x0, const double* u_old,
+                      const double* neigh_xy,
+                      const double* gains, const double* limits,
+                      const double* model,
+                      int iters, double rho, double eps,
+                      double* x_out, double* u_out, double* resid_out) {
+  Track trk = make_track_from_table(n_seg, seg, track_len, open_flag);
+  Gains g;
+  std::memcpy(g.q.data(), gains, 9 * sizeof(double));
+  std::memcpy(g.qs.data(), gains + 9, 3 * sizeof(double));
+  std::memcpy(g.r.data(), gains + 12, 2 * sizeof(double));
+  std::memcpy(g.dr.data(), gains + 14, 2 * sizeof(double));
+  g.wq = gains[16];
+  Limits lim{limits[0], limits[1], limits[2], limits[3], limits[4],
+             limits[5], limits[6], limits[7], limits[8]};
+  ModelParams mp{model[0], model[1], model[2], model[3], model[4],
+                 model[5], model[6]};
+
+  StageQP qp = build_lpv_qp(trk, g, lim, mp, N, dt, x_lin, u_lin, n_nb,
+                            neigh_xy);
+  Vec z0(NZ);
+  for (int i = 0; i < NX; ++i) z0[i] = x0[i];
+  for (int i = 0; i < NU; ++i) z0[NX + i] = u_old[i];
+
+  Solution sol = admm_solve(qp, z0, iters, rho, 1.6, eps);
+  for (int k = 0; k <= N; ++k)
+    for (int i = 0; i < NX; ++i) x_out[k * NX + i] = sol.z[k][i];
+  for (int k = 0; k < N; ++k)
+    for (int i = 0; i < NU; ++i) u_out[k * NU + i] = sol.z[k + 1][NX + i];
+  if (resid_out) {
+    resid_out[0] = sol.r_prim;
+    resid_out[1] = sol.r_dual;
+    resid_out[2] = static_cast<double>(sol.iterations);
+  }
+  return sol.feasible ? 1 : 0;
+}
+
+// RK4 plant step (validation utility).
+void cmpc_step_rk4(int n_seg, const double* seg, double track_len,
+                   int open_flag, double* x, const double* u, double dt,
+                   const double* model) {
+  Track trk = make_track_from_table(n_seg, seg, track_len, open_flag);
+  ModelParams mp{model[0], model[1], model[2], model[3], model[4],
+                 model[5], model[6]};
+  step_rk4(trk, x, u, dt, mp);
+}
+
+}  // extern "C"

@@ -1,0 +1,102 @@
+"""Native (C++) stack cross-validation against the JAX path.
+
+The native library is an independent float64 implementation of the same
+algorithm — agreement between the two is strong evidence both are right
+(the strategy the reference applies by keeping a C++ MPCC twin of its
+Python planners in-tree).
+"""
+
+import subprocess
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from colaborativempc_tpu import native
+from colaborativempc_tpu.config import (
+    lpv_gains, ModelParams, SysLimits, x0_database,
+)
+from colaborativempc_tpu.geometry import make_track
+from colaborativempc_tpu.planners.lpv import lpv_solve
+from colaborativempc_tpu.utils import initialise_agents
+from colaborativempc_tpu.utils.rollout import rollout_rk4
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+
+def test_native_matches_jax_single_agent():
+    track = make_track("oval")
+    gains, lim, mp = lpv_gains(), SysLimits(), ModelParams()
+    N, dt = 15, 0.025
+    x0s = jnp.asarray(x0_database(1), jnp.float32)
+    _, x_pred, u_pred = initialise_agents(track, x0s, N, dt)
+    x0 = x_pred[0][0]
+
+    sol = lpv_solve(track, gains, lim, mp, N, dt, x0, x_pred[0], u_pred[0],
+                    jnp.zeros(2), None, admm_iters=600, eps=1e-6)
+    ok, x_nat, u_nat, resid = native.lpv_solve_native(
+        track, gains, lim, mp, N, dt, np.asarray(x0),
+        np.asarray(x_pred[0]), np.asarray(u_pred[0]), np.zeros(2))
+
+    assert ok and bool(sol.feasible)
+    assert np.allclose(x_nat, np.asarray(sol.x_pred), atol=3e-3), (
+        np.abs(x_nat - np.asarray(sol.x_pred)).max())
+    assert np.allclose(u_nat, np.asarray(sol.u_pred), atol=3e-3)
+
+
+def test_native_matches_jax_multi_agent():
+    track = make_track("Highway")
+    gains, lim, mp = lpv_gains(), SysLimits(), ModelParams()
+    N, dt = 12, 0.025
+    x0s = jnp.asarray(x0_database(3), jnp.float32)
+    agents_xy, x_pred, u_pred = initialise_agents(track, x0s, N, dt)
+    neigh = np.asarray(agents_xy[:, [1, 2], :], np.float64)
+
+    sol = lpv_solve(track, gains, lim, mp, N, dt, x_pred[0][0], x_pred[0],
+                    u_pred[0], jnp.zeros(2), jnp.asarray(neigh),
+                    admm_iters=600, eps=1e-6)
+    ok, x_nat, u_nat, _ = native.lpv_solve_native(
+        track, gains, lim, mp, N, dt, np.asarray(x_pred[0][0]),
+        np.asarray(x_pred[0]), np.asarray(u_pred[0]), np.zeros(2),
+        neighbours_xy=neigh)
+
+    assert ok and bool(sol.feasible)
+    err = np.abs(x_nat - np.asarray(sol.x_pred)).max()
+    assert err < 5e-3, err
+
+
+def test_native_rk4_matches_jax():
+    track = make_track("oval")
+    mp = ModelParams()
+    x0s = jnp.asarray(x0_database(1), jnp.float32)
+    _, x_pred, _ = initialise_agents(track, x0s, 10, 0.02)
+    x = np.asarray(x_pred[0][0], np.float64).copy()
+    u = np.asarray([0.05, 1.0])
+
+    lib = native.load()
+    seg, length, open_flag = native.track_table(track)
+    for _ in range(20):
+        lib.cmpc_step_rk4(seg.shape[0], native._cptr(seg), length, open_flag,
+                          native._cptr(x), native._cptr(u), 0.02,
+                          native._cptr(np.asarray(
+                              [mp.lf, mp.lr, mp.m, mp.I, mp.Cf, mp.Cr,
+                               mp.mu])))
+    xj = np.asarray(rollout_rk4(track, x_pred[0][0],
+                                jnp.tile(jnp.asarray(u, jnp.float32),
+                                         (20, 1)), 0.02))[-1]
+    assert np.allclose(x, xj, atol=2e-3), np.abs(x - xj).max()
+
+
+def test_native_sim_binary(tmp_path):
+    """The closed-loop sim binary runs a 3-agent experiment and reports
+    solve times (the reference MPCC main.cpp contract)."""
+    track = make_track("Highway")
+    csv = str(tmp_path / "highway.csv")
+    native.export_track_csv(track, csv)
+    binary = native.build().replace("libcmpc.so", "cmpc_sim")
+    out = subprocess.run([binary, csv, "3", "15", "30", "0.025"],
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "feasible=1" in out.stdout
+    assert "solve time" in out.stdout
