@@ -52,6 +52,7 @@ _es = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 from colaborativempc_tpu.ops.lqr import (
     LQRCost, LQRDynamics, lqr_factorize, lqr_affine_solve,
+    lqr_affine_solve_assoc,
 )
 
 
@@ -128,8 +129,15 @@ def admm_solve(qp: StageQP, z0: jnp.ndarray,
                epoch_len: int = 25,
                rho_scale0: float = 1.0,
                max_rho_scale: float = 1e6,
-               feas_tol: float = 2e-3) -> ADMMSolution:
-    """Solve the stage QP with warm-startable (w0, y0, rho_scale0)."""
+               feas_tol: float = 2e-3,
+               assoc: bool = False) -> ADMMSolution:
+    """Solve the stage QP with warm-startable (w0, y0, rho_scale0).
+
+    ``assoc`` switches the inner affine solves to the parallel-in-horizon
+    associative-scan path (log-depth; pays ~3x FLOPs) — wins at long
+    horizons / small batches where the sequential scan is latency-bound.
+    """
+    affine = lqr_affine_solve_assoc if assoc else lqr_affine_solve
     N, m = qp.lo.shape
     dtype = z0.dtype
 
@@ -179,7 +187,7 @@ def admm_solve(qp: StageQP, z0: jnp.ndarray,
             r_pen = _es("kmi,km->ki", Em, t)
             q = aug_cost.q.at[:-1].add(q_pen)
             r = aug_cost.r + r_pen
-            z, c = lqr_affine_solve(qp.dyn, fac, q, r, z0)
+            z, c = affine(qp.dyn, fac, q, r, z0)
             v = constraint_eval(z, c)
             vhat = alpha * v + (1.0 - alpha) * w_prev
             w = prox(vhat + y_prev)

@@ -61,6 +61,7 @@ class LQRFactors(NamedTuple):
     Qxu: jnp.ndarray       # (N, nz, nc)
     m: jnp.ndarray         # (N, nz)  P_{k+1} d_k
     P0: jnp.ndarray        # (nz, nz) value Hessian at k=0 (diagnostics)
+    Acl: jnp.ndarray       # (N, nz, nz) closed loop F + G K (assoc path)
 
 
 def _sym(M):
@@ -89,7 +90,8 @@ def lqr_factorize(dyn: LQRDynamics, cost: LQRCost,
     P_N = cost.Q[-1]
     inputs = (dyn.F, dyn.G, cost.Q[:-1], cost.R, cost.S, dyn.d)
     P0, (K, L, Qxu, m) = jax.lax.scan(backward, P_N, inputs, reverse=True)
-    return LQRFactors(K=K, Quu_chol=L, Qxu=Qxu, m=m, P0=P0)
+    Acl = dyn.F + _mm(dyn.G, K)
+    return LQRFactors(K=K, Quu_chol=L, Qxu=Qxu, m=m, P0=P0, Acl=Acl)
 
 
 def lqr_affine_solve(dyn: LQRDynamics, fac: LQRFactors,
@@ -126,8 +128,83 @@ def lqr_affine_solve(dyn: LQRDynamics, fac: LQRFactors,
     return z_full, c
 
 
+def _affine_scan(M: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
+                 reverse: bool = False) -> jnp.ndarray:
+    """All states of the affine recurrence x_{k+1} = M_k x_k + b_k via
+    ``lax.associative_scan`` — log-depth instead of the N-step sequential
+    scan. Returns (N+1, n) including x0 at index 0 (or x_N at the end for
+    reverse=True recurrences x_k = M_k x_{k+1} + b_k, index N first).
+    """
+    if reverse:
+        M = M[::-1]
+        b = b[::-1]
+
+    def combine(e1, e2):
+        M1, b1 = e1
+        M2, b2 = e2
+        return _mm(M2, M1), jnp.einsum(
+            "...ij,...j->...i", M2, b1,
+            precision=jax.lax.Precision.HIGHEST) + b2
+
+    Mc, bc = jax.lax.associative_scan(combine, (M, b))
+    xs = jnp.einsum("kij,j->ki", Mc, x0,
+                    precision=jax.lax.Precision.HIGHEST) + bc
+    out = jnp.concatenate([x0[None], xs], axis=0)
+    if reverse:
+        out = out[::-1]
+    return out
+
+
+def lqr_affine_solve_assoc(dyn: LQRDynamics, fac: LQRFactors,
+                           q: jnp.ndarray, r: jnp.ndarray,
+                           z0: jnp.ndarray):
+    """Parallel-in-horizon affine solve: both the costate recursion and the
+    closed-loop rollout are affine recurrences in the factorised system, so
+    each collapses to one associative scan (log-depth). This is the axis the
+    reference never parallelises — its horizon work is strictly sequential
+    (stage loops LPV_Planner.py:462-472, CasADi base_nl.py:163-304, C++
+    mpc.cpp:46-52; SURVEY.md §5.7).
+
+    Identical output to ``lqr_affine_solve`` (up to roundoff).
+
+    Measured guidance (TPU v5e, N=125, nz=11): the sequential scan wins by
+    ~50x — at these matrix sizes it stays on-chip while the associative
+    combine materialises O(N log N) nz x nz products through HBM. This path
+    exists for the regime it targets (very long horizons with larger stage
+    blocks, or backends with high per-step loop overhead); benchmark before
+    enabling.
+    """
+    # costate: p_k = Acl_k' p_{k+1} + c_k with
+    # c_k = q_k + Acl_k' m_k - Qxu Quu^{-1} r_k
+    AclT = jnp.swapaxes(fac.Acl, -1, -2)
+    Kr = -jax.scipy.linalg.cho_solve(
+        (fac.Quu_chol, True), r[..., None])[..., 0]        # Quu^{-1} r
+    c = (q[:-1]
+         + jnp.einsum("kij,kj->ki", AclT, fac.m,
+                      precision=jax.lax.Precision.HIGHEST)
+         + jnp.einsum("kij,kj->ki", fac.Qxu, Kr,
+                      precision=jax.lax.Precision.HIGHEST))
+    p = _affine_scan(AclT, c, q[-1], reverse=True)         # (N+1, nz)
+
+    # feedforward from the costates
+    t = p[1:] + fac.m
+    Qu = r + jnp.einsum("kji,kj->ki", dyn.G, t,
+                        precision=jax.lax.Precision.HIGHEST)
+    kff = -jax.scipy.linalg.cho_solve((fac.Quu_chol, True),
+                                      Qu[..., None])[..., 0]
+
+    # closed-loop rollout: z_{k+1} = Acl_k z_k + (G kff_k + d_k)
+    b = jnp.einsum("kij,kj->ki", dyn.G, kff,
+                   precision=jax.lax.Precision.HIGHEST) + dyn.d
+    z = _affine_scan(fac.Acl, b, z0)
+    cctrl = (jnp.einsum("kij,kj->ki", fac.K, z[:-1],
+                        precision=jax.lax.Precision.HIGHEST) + kff)
+    return z, cctrl
+
+
 def lqr_solve(dyn: LQRDynamics, cost: LQRCost, z0: jnp.ndarray,
-              reg: float = 1e-8):
+              reg: float = 1e-8, assoc: bool = False):
     """One-shot equality-constrained solve (factorise + affine + rollout)."""
     fac = lqr_factorize(dyn, cost, reg)
-    return lqr_affine_solve(dyn, fac, cost.q, cost.r, z0)
+    solve = lqr_affine_solve_assoc if assoc else lqr_affine_solve
+    return solve(dyn, fac, cost.q, cost.r, z0)

@@ -1,0 +1,196 @@
+"""Mesh-sharded OCD coordination: the distributed NL planner over chips.
+
+The reference's truly-distributed deployment is one ROS process per agent
+exchanging plans over TCPROS with hand-rolled barrier flags and a
+termination-detection protocol (``ROS/src/planner_experiments/src/
+OCD_ROS_main.py:172-241``). Here the same algorithm runs as one SPMD
+program over a ("scen", "agent") device mesh: per OCD iteration each agent
+shard solves its SQP sub-problem locally, the plan exchange is ONE
+``all_gather`` over the agent axis (ICI), the dual ascent is computed
+redundantly from the gathered plans (cheap, keeps lambdas replicated), and
+the reference's `updated`/`finished` flag protocol collapses into the
+synchronous collective semantics of the mesh.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from colaborativempc_tpu.config.params import ExperimentConfig, nl_gains
+from colaborativempc_tpu.geometry import Track
+from colaborativempc_tpu.planners.nl import nl_solve, NLSolution
+from colaborativempc_tpu.runtime.ocd import (
+    OCDFleetState, OCDStepMetrics, _OCDLoopState,
+)
+
+
+def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
+                             scen_axis: str = "scen",
+                             agent_axis: str = "agent"):
+    """Sharded one-control-step (full OCD inner loop) for batched fleets.
+
+    State arrays carry a leading scenario axis: x0 (S, n_ag, 9), ...,
+    lambdas (S, n_ag, n_ag, N) [sharded over scenarios, replicated over
+    agents].
+    """
+    gains = cfg.gains if cfg.gains is not None else nl_gains()
+    n_ag = cfg.n_agents
+    N = cfg.N
+    ocd = cfg.ocd
+
+    def one_agent(x0, x_bar, u_bar, u_old, lam_i, neigh_xy, mmask, w, y, rs):
+        return nl_solve(
+            track, gains, cfg.limits, cfg.model, N, cfg.dt,
+            x0, x_bar, u_bar, u_old, lam_i, neigh_xy, mmask,
+            w0=w, y0=y, rho_scale0=rs,
+            sqp_iters=cfg.solver.sqp_iters, sqp_mix=cfg.solver.line_search,
+            u_trust=(cfg.solver.u_trust_delta, cfg.solver.u_trust_acc),
+            coupling=cfg.coupling,
+            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho)
+
+    def local_step(state: OCDFleetState):
+        A_l = state.x0.shape[1]
+        a_idx = jax.lax.axis_index(agent_axis)
+        gids = a_idx * A_l + jnp.arange(A_l)          # global agent ids
+        ids = jnp.arange(n_ag)
+
+        def ocd_iteration(st: _OCDLoopState) -> _OCDLoopState:
+            # exchange over ICI
+            all_xy = jax.lax.all_gather(
+                st.x_pred[:, :, :, 7:9], agent_axis, axis=1,
+                tiled=True)                            # (S_l, n_ag, N+1, 2)
+
+            def per_scenario(x0, x_pred, u_pred, u_old, lam, w, y, rs,
+                             all_xy_s):
+                def per_agent(la, x0a, xpa, upa, uoa, wa, ya, rsa):
+                    gid = gids[la]
+                    rolled = jnp.roll(all_xy_s, -(gid + 1), axis=0)
+                    nb_xy = jnp.swapaxes(rolled[: n_ag - 1], 0, 1)
+                    nb_ids = jnp.roll(ids, -(gid + 1))[: n_ag - 1]
+                    mmask = (gid < nb_ids).astype(xpa.dtype)
+                    lam_i = lam[gid, nb_ids, :]        # (n_nb, N)
+                    return one_agent(x0a, xpa, upa, uoa, lam_i, nb_xy,
+                                     mmask, wa, ya, rsa)
+                return jax.vmap(per_agent)(
+                    jnp.arange(A_l), x0, x_pred, u_pred, u_old, w, y, rs)
+
+            sol: NLSolution = jax.vmap(per_scenario)(
+                state.x0, st.x_pred, st.u_pred, state.u_old,
+                st.lambdas, st.w, st.y, st.rho_scale, all_xy)
+
+            # gather the new plans; replicate the dual ascent on each shard
+            new_xy = jax.lax.all_gather(
+                sol.x_pred[:, :, 1:, 7:9], agent_axis, axis=1, tiled=True)
+            diff = new_xy[:, :, None] - new_xy[:, None, :]
+            dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-9)
+            g = cfg.limits.min_dist - dist             # (S_l, i, j, N)
+            if cfg.coupling == "hp":
+                g = 0.5 * g
+            upper = (ids[:, None] < ids[None, :]).astype(
+                g.dtype)[None, :, :, None]
+            lambdas = st.lambdas + ocd.alpha * g * upper
+            # every agent shard computed the same update from the gathered
+            # plans; pmean makes the replication explicit for the carry type
+            lambdas = jax.lax.pmean(lambdas, agent_axis)
+
+            # convergence: max over scenarios AND agents (pmax over mesh)
+            delta = jnp.max(jnp.abs(st.x_pred - sol.x_pred))
+            delta = jax.lax.pmax(jax.lax.pmax(delta, agent_axis), scen_axis)
+            conv = delta < ocd.atol
+            conv_count = jnp.where(conv, st.conv_count + 1, 0)
+            finished = ((conv_count > ocd.it_conv)
+                        | (st.it_ocd >= ocd.max_it_ocd))
+            return _OCDLoopState(
+                x_pred=sol.x_pred, u_pred=sol.u_pred, x_old=st.x_pred,
+                lambdas=lambdas, w=sol.w, y=sol.y, rho_scale=sol.rho_scale,
+                it_ocd=st.it_ocd + 1, conv_count=conv_count,
+                finished=finished, feasible=sol.feasible)
+
+        # feasible is per-(scenario, agent) and varying; tie its init to the
+        # data so the while_loop carry types match
+        feas0 = jnp.sum(state.x0 * 0.0, axis=-1) == 0.0
+        loop0 = _OCDLoopState(
+            x_pred=state.x_pred, u_pred=state.u_pred, x_old=state.x_pred,
+            lambdas=state.lambdas, w=state.w, y=state.y,
+            rho_scale=state.rho_scale,
+            it_ocd=jnp.asarray(0), conv_count=jnp.asarray(0),
+            finished=jnp.asarray(False),
+            feasible=feas0)
+
+        def cond(st):
+            return ~((st.it_ocd > ocd.min_it_ocd) & st.finished)
+
+        out = jax.lax.while_loop(cond, ocd_iteration, loop0)
+
+        x_shift = jnp.concatenate(
+            [out.x_pred[:, :, 1:], out.x_pred[:, :, -1:]], axis=2)
+        u_shift = jnp.concatenate(
+            [out.u_pred[:, :, 1:], out.u_pred[:, :, -1:]], axis=2)
+        new_state = OCDFleetState(
+            x0=out.x_pred[:, :, 1, :], x_pred=x_shift, u_pred=u_shift,
+            u_old=out.u_pred[:, :, 0, :],
+            lambdas=out.lambdas, w=out.w, y=out.y,
+            rho_scale=out.rho_scale)
+
+        exec_xy = jax.lax.all_gather(
+            out.x_pred[:, :, 1, 7:9], agent_axis, axis=1, tiled=True)
+        dd = exec_xy[:, :, None, :] - exec_xy[:, None, :, :]
+        de = jnp.sqrt(jnp.sum(dd * dd, axis=-1) + 1e-12)
+        de = de + jnp.eye(n_ag)[None] * 1e9
+        min_de = jax.lax.pmin(jnp.min(de, axis=(1, 2)), agent_axis)
+
+        pred_xy = jax.lax.all_gather(
+            out.x_pred[:, :, 1:, 7:9], agent_axis, axis=1, tiled=True)
+        pd = pred_xy[:, :, None] - pred_xy[:, None, :]
+        pdist = jnp.sqrt(jnp.sum(pd * pd, axis=-1) + 1e-12)
+        pdist = pdist + jnp.eye(n_ag)[None, :, :, None] * 1e9
+        min_pd = jax.lax.pmin(jnp.min(pdist, axis=(1, 2, 3)), agent_axis)
+
+        it_out = out.it_ocd + jnp.zeros(
+            state.x0.shape[0], out.it_ocd.dtype)  # per-scenario broadcast
+        metrics = OCDStepMetrics(
+            ocd_iterations=it_out,
+            feasible=out.feasible,
+            min_dist=min_pd, min_dist_exec=min_de,
+            lambda_max=jax.lax.pmax(
+                jnp.max(jnp.abs(out.lambdas), axis=(1, 2, 3)), agent_axis))
+        return new_state, metrics
+
+    state_spec = OCDFleetState(
+        x0=P(scen_axis, agent_axis), x_pred=P(scen_axis, agent_axis),
+        u_pred=P(scen_axis, agent_axis), u_old=P(scen_axis, agent_axis),
+        lambdas=P(scen_axis),   # replicated over agents
+        w=P(scen_axis, agent_axis), y=P(scen_axis, agent_axis),
+        rho_scale=P(scen_axis, agent_axis))
+    metrics_spec = OCDStepMetrics(
+        ocd_iterations=P(scen_axis),
+        feasible=P(scen_axis, agent_axis),
+        min_dist=P(scen_axis), min_dist_exec=P(scen_axis),
+        lambda_max=P(scen_axis))
+
+    sharded = jax.shard_map(local_step, mesh=mesh,
+                            in_specs=(state_spec,),
+                            out_specs=(state_spec, metrics_spec))
+    return jax.jit(sharded)
+
+
+def shard_ocd_state(state: OCDFleetState, n_scen: int, mesh: Mesh,
+                    scen_axis: str = "scen",
+                    agent_axis: str = "agent") -> OCDFleetState:
+    """Tile an OCDFleetState into a scenario batch and place it on the mesh."""
+    def tile(x):
+        return jnp.broadcast_to(x[None], (n_scen,) + x.shape).copy()
+    batched = jax.tree.map(tile, state)
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    specs = OCDFleetState(
+        x0=P(scen_axis, agent_axis), x_pred=P(scen_axis, agent_axis),
+        u_pred=P(scen_axis, agent_axis), u_old=P(scen_axis, agent_axis),
+        lambdas=P(scen_axis),
+        w=P(scen_axis, agent_axis), y=P(scen_axis, agent_axis),
+        rho_scale=P(scen_axis, agent_axis))
+    return jax.tree.map(put, batched, specs)

@@ -259,3 +259,23 @@ def test_admm_vmap_batch():
     for i, (qp, z0) in enumerate(zip(qps, z0s)):
         sol = admm_solve(qp, z0, iters=300, eps=1e-6)
         assert np.allclose(np.asarray(bsol.z[i]), np.asarray(sol.z), atol=2e-3)
+
+
+def test_assoc_affine_matches_sequential():
+    """The parallel-in-horizon associative-scan solve must equal the
+    sequential Riccati affine solve."""
+    from colaborativempc_tpu.ops.lqr import (
+        lqr_factorize, lqr_affine_solve, lqr_affine_solve_assoc,
+    )
+    rng = np.random.default_rng(7)
+    F, G, d, Q, R, S, q, r, z0 = random_problem(rng, N=40, nz=6, nc=3)
+    dyn = LQRDynamics(*[jnp.asarray(a, jnp.float32) for a in (F, G, d)])
+    cost = LQRCost(*[jnp.asarray(a, jnp.float32) for a in (Q, q, R, r, S)])
+    fac = lqr_factorize(dyn, cost)
+    z1, c1 = lqr_affine_solve(dyn, fac, cost.q, cost.r,
+                              jnp.asarray(z0, jnp.float32))
+    z2, c2 = lqr_affine_solve_assoc(dyn, fac, cost.q, cost.r,
+                                    jnp.asarray(z0, jnp.float32))
+    assert np.allclose(np.asarray(z1), np.asarray(z2), atol=2e-3), (
+        np.abs(np.asarray(z1) - np.asarray(z2)).max())
+    assert np.allclose(np.asarray(c1), np.asarray(c2), atol=2e-3)

@@ -59,3 +59,36 @@ def test_sharded_multi_step_stable():
         state, metrics = step(state)
     assert np.asarray(metrics.feasible).all()
     assert np.asarray(state.x0[:, :, 6] > 0.1).all()  # everyone progressed
+
+
+def test_sharded_ocd_matches_single_device():
+    """The sharded OCD coordination step must match the single-device one."""
+    from colaborativempc_tpu.config import nl_gains, OCDConfig
+    from colaborativempc_tpu.runtime.ocd import init_nl_fleet, make_nl_ocd_step
+    from colaborativempc_tpu.parallel import (
+        make_sharded_nl_ocd_step, shard_ocd_state,
+    )
+
+    cfg = ExperimentConfig(
+        n_agents=4, N=8, dt=0.02, max_it=5, map_type="oval",
+        gains=nl_gains(), ocd=OCDConfig(max_it_ocd=12),
+        solver=SolverConfig(admm_iters=150, sqp_iters=2))
+    track = make_track(cfg.map_type)
+    state = init_nl_fleet(track, cfg)
+
+    ref_step = make_nl_ocd_step(track, cfg)
+    ref_state, ref_metrics = ref_step(state)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("scen", "agent"))
+    bstate = shard_ocd_state(state, 2, mesh)
+    sh_step = make_sharded_nl_ocd_step(track, cfg, mesh)
+    new_state, metrics = sh_step(bstate)
+
+    for s in range(2):
+        err = np.abs(np.asarray(new_state.x_pred[s])
+                     - np.asarray(ref_state.x_pred)).max()
+        assert err < 2e-3, err
+        lam_err = np.abs(np.asarray(new_state.lambdas[s])
+                         - np.asarray(ref_state.lambdas)).max()
+        assert lam_err < 1e-3, lam_err
+    assert np.asarray(metrics.feasible).all()
