@@ -129,7 +129,7 @@ def admm_solve(qp: StageQP, z0: jnp.ndarray,
                epoch_len: int = 25,
                rho_scale0: float = 1.0,
                max_rho_scale: float = 1e6,
-               feas_tol: float = 2e-3,
+               feas_tol: float = 1e-2,
                assoc: bool = False) -> ADMMSolution:
     """Solve the stage QP with warm-startable (w0, y0, rho_scale0).
 

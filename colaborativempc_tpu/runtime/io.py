@@ -96,6 +96,18 @@ class ExperimentIO:
                 np.savetxt(os.path.join(d, "OCD_it.dat"),
                            np.asarray(self.ocd_iters), fmt="%.5e",
                            delimiter=" ")
+                # per-iteration time table (base_class.py time_OCD):
+                # the whole OCD loop is one device dispatch here, so the
+                # per-iteration rows are the per-step mean
+                its = np.asarray(self.ocd_iters)
+                times = np.asarray(self.step_times)[: len(its)]
+                lim = max(int(its.max()), 1)
+                tab = np.zeros((len(its), lim))
+                for i, (n_it, t) in enumerate(zip(its, times)):
+                    n_it = max(int(n_it), 1)
+                    tab[i, :n_it] = t / n_it
+                np.savetxt(os.path.join(d, "time_OCD.dat"), tab,
+                           fmt="%.5e", delimiter=" ")
 
     def save_exp(self):
         """Full prediction histories for replay (base_class.py:125-141)."""

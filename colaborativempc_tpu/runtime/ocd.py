@@ -233,7 +233,10 @@ def run_nl_experiment(cfg: ExperimentConfig,
         hist["ocd_it"].append(int(metrics.ocd_iterations))
         if io is not None:
             io.update(it, state, metrics, hist["times"][-1])
-        if not bool(np.all(hist["feas"][-1])):
+        # reference NL semantics: continue on degraded/partial solves,
+        # abort only when NO agent produced a usable solution
+        # (NL_EU_N_main.py:113-115 'if not np.any(feas)')
+        if not bool(np.any(hist["feas"][-1])):
             break
         if bool(np.any(np.asarray(
                 check_end(track, state.x0[:, 6], laps=cfg.laps)))):
