@@ -23,4 +23,18 @@ multi-agent MPC trajectory planner for scaled autonomous cars):
 
 __version__ = "0.1.0"
 
+# Persistent XLA compilation cache: first compiles over a tunnelled TPU are
+# expensive (minutes for the nested coordination loops); caching makes every
+# subsequent process start warm.
+import os as _os
+import jax as _jax
+_cache_dir = _os.environ.get("CMPC_JAX_CACHE",
+                             _os.path.expanduser("~/.cache/cmpc_jax"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is best-effort
+    pass
+
 from colaborativempc_tpu.geometry import Track, make_track, TRACK_NAMES

@@ -91,7 +91,6 @@ class SolverConfig(NamedTuple):
     OSQP/IPOPT option dicts, LPV_Planner.py:233, NL_Planner_Eu.py:172-175)."""
     admm_iters: int = 300       # ADMM iteration budget (early exit on residuals)
     rho: float = 10.0           # ADMM penalty (plain box rows)
-    rho_slack: float = 1e4      # ADMM penalty for slack-carrying rows
     alpha_relax: float = 1.6    # ADMM over-relaxation
     sqp_iters: int = 3          # SQP outer iterations (1 = RTI mode)
     line_search: float = 0.7    # SQP solution blending (C++ MPCC sqp_mixing)
@@ -137,4 +136,16 @@ X0_DATABASE: Tuple[Tuple[float, ...], ...] = (
 
 
 def x0_database(n_agents: int) -> np.ndarray:
-    return np.asarray(X0_DATABASE[:n_agents], dtype=np.float64)
+    """Initial states for n agents. The first 4 are the reference's
+    canonical rows; beyond that, agents are staggered along the track
+    (platoon formation: alternating lateral offsets, 0.5 m longitudinal
+    spacing) so arbitrarily large fleets start collision-free."""
+    base = np.asarray(X0_DATABASE, dtype=np.float64)
+    if n_agents <= len(base):
+        return base[:n_agents]
+    rows = [base[i % len(base)].copy() for i in range(n_agents)]
+    eys = [0.0, -0.25, 0.45, 0.25]
+    for i in range(len(base), n_agents):
+        rows[i][3] = eys[i % 4]
+        rows[i][6] = 0.5 * (i // 4 + 1) + base[i % 4][6]
+    return np.asarray(rows)

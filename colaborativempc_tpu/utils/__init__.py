@@ -2,3 +2,4 @@ from colaborativempc_tpu.utils.warmstart import (
     warmstart_trajectory, initialise_agents,
 )
 from colaborativempc_tpu.utils.rollout import rollout_euler, rollout_rk4
+from colaborativempc_tpu.utils.sysid import regression, gbellmf

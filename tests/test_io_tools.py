@@ -139,3 +139,20 @@ def test_checkpoint_resume(tmp_path):
 
     for a, b in zip(jax.tree.leaves(direct), jax.tree.leaves(resumed)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sysid_regression_recovers_dynamics():
+    """Ridge regression recovers (A, B) from rollout data
+    (reference utilities/misc.py:51-74)."""
+    from colaborativempc_tpu.utils import regression
+    rng = np.random.default_rng(0)
+    n, m, T = 4, 2, 300
+    A = np.eye(n) * 0.9 + rng.normal(size=(n, n)) * 0.05
+    B = rng.normal(size=(n, m)) * 0.3
+    x = np.zeros((T, n)); u = rng.normal(size=(T, m))
+    for k in range(T - 1):
+        x[k + 1] = A @ x[k] + B @ u[k]
+    Ae, Be, err = regression(jnp.asarray(x, jnp.float32),
+                             jnp.asarray(u, jnp.float32), 1e-6)
+    assert np.allclose(np.asarray(Ae), A, atol=1e-2)
+    assert np.allclose(np.asarray(Be), B, atol=1e-2)

@@ -279,3 +279,38 @@ def test_assoc_affine_matches_sequential():
     assert np.allclose(np.asarray(z1), np.asarray(z2), atol=2e-3), (
         np.abs(np.asarray(z1) - np.asarray(z2)).max())
     assert np.allclose(np.asarray(c1), np.asarray(c2), atol=2e-3)
+
+
+def test_pallas_affine_kernel_interpret():
+    """The Pallas batched affine kernel matches the sequential solve.
+
+    Runs in interpreter mode: real-TPU Pallas execution is not available
+    through this environment's tunneled backend (plain pallas_call hangs),
+    so the kernel is validated functionally here and benchmarked on real
+    hardware separately.
+    """
+    from colaborativempc_tpu.ops.lqr import lqr_factorize, lqr_affine_solve
+    from colaborativempc_tpu.ops.pallas_lqr import lqr_affine_solve_batched
+
+    rng = np.random.default_rng(11)
+    B, N = 4, 10
+    refs, packs = [], []
+    for _ in range(B):
+        F, G, d, Q, R, S, q, r, z0 = random_problem(rng, N=N, nz=11, nc=2)
+        f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+        dyn = LQRDynamics(f32(F), f32(G), f32(d))
+        cost = LQRCost(f32(Q), f32(q), f32(R), f32(r), f32(S))
+        fac = lqr_factorize(dyn, cost)
+        z, c = lqr_affine_solve(dyn, fac, cost.q, cost.r, f32(z0))
+        refs.append((np.asarray(z), np.asarray(c)))
+        L = np.asarray(fac.Quu_chol)
+        Quu_inv = np.stack([np.linalg.inv(L[k] @ L[k].T) for k in range(N)])
+        packs.append((F, G, d, np.asarray(fac.K), Quu_inv,
+                      np.asarray(fac.Qxu), np.asarray(fac.m), q, r, z0))
+
+    batched = [jnp.asarray(np.stack([p[i] for p in packs]), jnp.float32)
+               for i in range(10)]
+    z, c = lqr_affine_solve_batched(*batched, interpret=True)
+    for i in range(B):
+        assert np.allclose(np.asarray(z[i]), refs[i][0], atol=5e-5)
+        assert np.allclose(np.asarray(c[i]), refs[i][1], atol=5e-5)
