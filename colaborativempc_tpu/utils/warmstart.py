@@ -30,9 +30,11 @@ def warmstart_trajectory(track: Track, x0: jnp.ndarray, N: int, dt,
     ks = jnp.arange(N)
     acc = accel + accel_rate * ks
     vx = jnp.concatenate([vx0[None], vx0 + dt * jnp.cumsum(acc)])
-    # s_{k+1} = s_k + vx_k dt  -> cumulative sum of vx[:-1]
-    s = jnp.concatenate([jnp.zeros(1, vx.dtype),
-                         dt * jnp.cumsum(vx[:-1])])
+    # s_{k+1} = s_k + vx_k dt. Unlike the reference (which zeroes S[0],
+    # misc.py:175, discarding x0's s entry) we respect x0[6] so staggered
+    # platoon starts (x0_database beyond 4 agents) stay separated.
+    s = x0[6] + jnp.concatenate([jnp.zeros(1, vx.dtype),
+                                 dt * jnp.cumsum(vx[:-1])])
     ey = jnp.full(N + 1, x0[3], vx.dtype)
     # reference evaluates stage k+1's pose at s_k (misc.py:206)
     s_pose = jnp.concatenate([s[:1], s[:-1]])

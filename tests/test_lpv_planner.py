@@ -93,3 +93,13 @@ def test_agents_diverge_from_head_on():
     # separation must grow from the initial 0.1 towards min_dist
     assert float(res.min_dist[-1]) > 0.25
     assert float(res.min_dist.min()) >= 0.099  # never worse than start
+
+
+def test_eight_agent_fleet():
+    """Fleets beyond the reference's 4 canonical agents: staggered platoon
+    starts stay feasible and separated (BASELINE.json config #4)."""
+    cfg = small_cfg(n_agents=8, map_type="Highway", max_it=15, N=10)
+    res = run_lpv_experiment(cfg)
+    assert res.steps >= 15
+    assert res.feasible.all()
+    assert float(res.min_dist_exec.min()) > 0.2
