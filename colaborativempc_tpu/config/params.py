@@ -91,6 +91,7 @@ class SolverConfig(NamedTuple):
     OSQP/IPOPT option dicts, LPV_Planner.py:233, NL_Planner_Eu.py:172-175)."""
     admm_iters: int = 300       # ADMM iteration budget (early exit on residuals)
     rho: float = 10.0           # ADMM penalty (plain box rows)
+    eps: float = 1e-4           # ADMM residual tolerance (OSQP eps_abs~1e-3)
     alpha_relax: float = 1.6    # ADMM over-relaxation
     sqp_iters: int = 3          # SQP outer iterations (1 = RTI mode)
     line_search: float = 0.7    # SQP solution blending (C++ MPCC sqp_mixing)
@@ -111,6 +112,7 @@ class ExperimentConfig:
     dt: float = 0.02
     max_it: int = 1000           # outer control-step cap
     map_type: str = "Highway"
+    lane: int = 0                # track lane (multi-lane tracks: Oval2, ...)
     model: ModelParams = ModelParams()
     limits: SysLimits = SysLimits()
     gains: Optional[Gains] = None

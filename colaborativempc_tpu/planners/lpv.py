@@ -91,7 +91,8 @@ SOFT_WEIGHT_CAP = 1e4
 def build_lpv_qp(track: Track, gains: Gains, limits: SysLimits,
                  model: ModelParams, N: int, dt,
                  x_lin: jnp.ndarray, u_lin: jnp.ndarray,
-                 planes: jnp.ndarray, weights: jnp.ndarray) -> StageQP:
+                 planes: jnp.ndarray, weights: jnp.ndarray,
+                 lane: int = 0) -> StageQP:
     """Assemble the stage QP around linearisation trajectory (x_lin, u_lin).
 
     planes: (N, n_nb, 3) separating planes; weights: (N, n_nb) separation
@@ -99,7 +100,7 @@ def build_lpv_qp(track: Track, gains: Gains, limits: SysLimits,
     """
     gains = gains._replace(qs=jnp.minimum(gains.qs, SOFT_WEIGHT_CAP))
     dtype = x_lin.dtype
-    kappas = curvature(track, x_lin[:N, 6])
+    kappas = curvature(track, x_lin[:N, 6], lane)
     Ad, Bd = lpv_discrete_horizon(x_lin[:N], u_lin, kappas, dt, model)
     dyn = _augment_dynamics(Ad, Bd)
 
@@ -148,7 +149,7 @@ def build_lpv_qp(track: Track, gains: Gains, limits: SysLimits,
 
     # lateral error band, soft on both sides with the shared ey slack weight
     # (LPV_Planner.py:299-303)
-    ey_ub = (halfwidth(track, x_lin[:N, 6], sm=limits.sm)).astype(dtype)
+    ey_ub = (halfwidth(track, x_lin[:N, 6], lane, sm=limits.sm)).astype(dtype)
     Dey, Eey = next_state_rows(3)
     D = D.at[:, 1, :].set(Dey); E = E.at[:, 1, :].set(Eey)
     lo = lo.at[:, 1].set(-ey_ub); hi = hi.at[:, 1].set(ey_ub)
@@ -196,7 +197,7 @@ def lpv_solve(track: Track, gains: Gains, limits: SysLimits,
               ego_xy: Optional[jnp.ndarray] = None,
               w0=None, y0=None, rho_scale0=1.0,
               admm_iters: int = 100, rho: float = 10.0,
-              eps: float = 1e-4) -> LPVSolution:
+              eps: float = 1e-4, lane: int = 0) -> LPVSolution:
     """One LPV-MPC solve (the reference ``PlannerLPV.solve``, :115-182).
 
     Args:
@@ -219,7 +220,7 @@ def lpv_solve(track: Track, gains: Gains, limits: SysLimits,
                                         limits.min_dist)
 
     qp = build_lpv_qp(track, gains, limits, model, N, dt, x_lin, u_lin,
-                      planes, weights)
+                      planes, weights, lane=lane)
     if neighbours_xy is None:
         # disable the placeholder plane row
         qp = qp._replace(hi=qp.hi.at[:, 4:].set(INF))

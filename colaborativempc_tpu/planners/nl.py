@@ -92,7 +92,7 @@ def build_nl_qp(track: Track, gains: Gains, limits: SysLimits,
                 lambdas: jnp.ndarray, neigh_xy: jnp.ndarray,
                 master_mask: jnp.ndarray,
                 u_trust: Optional[tuple] = (0.06, 0.6),
-                coupling: str = "eu") -> StageQP:
+                coupling: str = "eu", lane: int = 0) -> StageQP:
     """Assemble the SQP inner QP around (x_bar, u_bar).
 
     Args:
@@ -115,7 +115,7 @@ def build_nl_qp(track: Track, gains: Gains, limits: SysLimits,
     dtype = x_bar.dtype
     n_nb = neigh_xy.shape[1]
 
-    kappas = curvature(track, x_bar[:N, 6])
+    kappas = curvature(track, x_bar[:N, 6], lane)
     Ad, Bd, rd = _linearize_horizon(x_bar[:N], u_bar, kappas, dt, model)
     dyn = _augment_dynamics(Ad, Bd)
     dyn = dyn._replace(d=dyn.d.at[:, :NX].set(rd))
@@ -168,7 +168,7 @@ def build_nl_qp(track: Track, gains: Gains, limits: SysLimits,
     soft_hi = soft_hi.at[:, 0].set(gains.qs[0])
 
     # lateral error band, soft both sides (NL_Planner_Eu.py:62)
-    ey_ub = (halfwidth(track, x_bar[:N, 6], sm=limits.sm)).astype(dtype)
+    ey_ub = (halfwidth(track, x_bar[:N, 6], lane, sm=limits.sm)).astype(dtype)
     Dey, Eey = next_state_rows(3)
     D = D.at[:, 1, :].set(Dey); E = E.at[:, 1, :].set(Eey)
     lo = lo.at[:, 1].set(-ey_ub); hi = hi.at[:, 1].set(ey_ub)
@@ -243,7 +243,7 @@ def nl_solve(track: Track, gains: Gains, limits: SysLimits,
              master_mask: jnp.ndarray,
              w0=None, y0=None, rho_scale0=1.0,
              sqp_iters: int = 2, sqp_mix: float = 0.7,
-             u_trust=(0.06, 0.6), coupling: str = "eu",
+             u_trust=(0.06, 0.6), coupling: str = "eu", lane: int = 0,
              admm_iters: int = 100, rho: float = 10.0,
              eps: float = 1e-4) -> NLSolution:
     """One nonlinear OCD sub-problem solve (reference PlannerEu.solve).
@@ -259,7 +259,7 @@ def nl_solve(track: Track, gains: Gains, limits: SysLimits,
         x_lin, u_lin, w, y, rs = carry
         qp = build_nl_qp(track, gains, limits, model, N, dt,
                          x_lin, u_lin, lambdas, neigh_xy, master_mask,
-                         u_trust=u_trust, coupling=coupling)
+                         u_trust=u_trust, coupling=coupling, lane=lane)
         sol = admm_solve(qp, z0, w0=w, y0=y, rho_scale0=rs,
                          iters=admm_iters, rho=rho, eps=eps, epoch_len=10)
         x_new = sol.z[:, :NX]
@@ -281,7 +281,7 @@ def nl_solve(track: Track, gains: Gains, limits: SysLimits,
     last = jax.tree.map(lambda a: a[-1], sols)
     qp_last = build_nl_qp(track, gains, limits, model, N, dt,
                           x_fin, u_fin, lambdas, neigh_xy, master_mask,
-                          u_trust=u_trust, coupling=coupling)
+                          u_trust=u_trust, coupling=coupling, lane=lane)
     return NLSolution(
         x_pred=x_fin, u_pred=u_fin,
         du_pred=last.c, s_pred=_violations(qp_last, last.z, last.c),

@@ -83,8 +83,9 @@ def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
             w0=w, y0=y, rho_scale0=rs,
             sqp_iters=cfg.solver.sqp_iters, sqp_mix=cfg.solver.line_search,
             u_trust=(cfg.solver.u_trust_delta, cfg.solver.u_trust_acc),
-            coupling=cfg.coupling,
-            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho)
+            coupling=cfg.coupling, lane=cfg.lane,
+            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
+            eps=cfg.solver.eps)
 
     def ocd_iteration(st: _OCDLoopState, x0, u_old) -> _OCDLoopState:
         agents_xy = jnp.swapaxes(st.x_pred[:, :, 7:9], 0, 1)  # (N+1, n_ag, 2)
@@ -175,7 +176,8 @@ def init_nl_fleet(track: Track, cfg: ExperimentConfig,
     if x0s is None:
         x0s = x0_database(cfg.n_agents)
     x0s = jnp.asarray(x0s, dtype)
-    _, x_pred, u_pred = initialise_agents(track, x0s, cfg.N, cfg.dt)
+    _, x_pred, u_pred = initialise_agents(track, x0s, cfg.N, cfg.dt,
+                                          lane=cfg.lane)
     n_nb = max(cfg.n_agents - 1, 1)
     m = 4 + n_nb
     if lambdas0 is None:

@@ -78,7 +78,8 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
             x0, x_lin, u_lin, u_old,
             neighbours_xy if multi else None,
             w0=w, y0=y, rho_scale0=rho_scale,
-            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho)
+            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
+            eps=cfg.solver.eps, lane=cfg.lane)
 
     def step(state: FleetState):
         # the "communication": everyone reads everyone's (X, Y) plan
@@ -119,7 +120,8 @@ def init_lpv_fleet(track: Track, cfg: ExperimentConfig,
     if x0s is None:
         x0s = x0_database(cfg.n_agents)
     x0s = jnp.asarray(x0s, dtype)
-    _, x_pred, u_pred = initialise_agents(track, x0s, cfg.N, cfg.dt)
+    _, x_pred, u_pred = initialise_agents(track, x0s, cfg.N, cfg.dt,
+                                          lane=cfg.lane)
     n_nb = cfg.n_agents - 1 if cfg.n_agents > 1 else 1
     m = 4 + n_nb
     # x0 = warmstart row 0, whose (X, Y, theta) are recomputed from the track
@@ -196,7 +198,8 @@ def run_lpv_experiment(cfg: ExperimentConfig,
             break
         # lap termination on any agent (reference checkEnd, misc.py:28-48)
         if bool(np.any(np.asarray(
-                check_end(track, state.x0[:, 6], laps=cfg.laps)))):
+                check_end(track, state.x0[:, 6], laps=cfg.laps,
+                          lane=cfg.lane)))):
             finished = True
             break
         it += 1

@@ -16,15 +16,15 @@ from colaborativempc_tpu.geometry import Track, frenet_to_cartesian
 
 
 def warmstart_trajectory(track: Track, x0: jnp.ndarray, N: int, dt,
-                         accel: float = 1.0, accel_rate: float = 0.0):
+                         accel: float = 1.0, accel_rate: float = 0.0,
+                         lane: int = 0):
     """Generate (N+1, 9) state and (N, 2) input warm-start trajectories.
 
     Holds vy, wz, ey, epsi at their initial values, integrates vx with a
     constant acceleration ramp and s with the running vx, then fills
     (X, Y, theta) from the track geometry — matching the reference's
-    start-up predictor (misc.py:168-210, including its quirk of starting
-    s at 0 regardless of x0's s entry and evaluating the pose at the
-    previous stage's s).
+    start-up predictor (misc.py:168-210, including its quirk of evaluating
+    the pose at the previous stage's s).
     """
     vx0 = x0[0]
     ks = jnp.arange(N)
@@ -38,7 +38,7 @@ def warmstart_trajectory(track: Track, x0: jnp.ndarray, N: int, dt,
     ey = jnp.full(N + 1, x0[3], vx.dtype)
     # reference evaluates stage k+1's pose at s_k (misc.py:206)
     s_pose = jnp.concatenate([s[:1], s[:-1]])
-    X, Y, Theta = frenet_to_cartesian(track, s_pose, ey)
+    X, Y, Theta = frenet_to_cartesian(track, s_pose, ey, lane)
 
     states = jnp.stack([
         vx,
@@ -56,7 +56,7 @@ def warmstart_trajectory(track: Track, x0: jnp.ndarray, N: int, dt,
 
 
 def initialise_agents(track: Track, x0s: jnp.ndarray, N: int, dt,
-                      accel_rate: float = 0.0):
+                      accel_rate: float = 0.0, lane: int = 0):
     """Warm-start every agent (reference misc.py:155-165).
 
     Args:
@@ -67,6 +67,7 @@ def initialise_agents(track: Track, x0s: jnp.ndarray, N: int, dt,
     """
     x_pred, u_pred = jax.vmap(
         lambda x0: warmstart_trajectory(track, x0, N, dt,
-                                        accel_rate=accel_rate))(x0s)
+                                        accel_rate=accel_rate,
+                                        lane=lane))(x0s)
     agents_xy = jnp.swapaxes(x_pred[:, :, 7:9], 0, 1)
     return agents_xy, x_pred, u_pred

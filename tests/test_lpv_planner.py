@@ -103,3 +103,33 @@ def test_eight_agent_fleet():
     assert res.steps >= 15
     assert res.feasible.all()
     assert float(res.min_dist_exec.min()) > 0.2
+
+
+def test_full_lap_completion():
+    """A single agent completes a full closed-track lap: exercises s
+    wrapping, curvature transitions on all segments, and the lap
+    termination logic (reference checkEnd semantics)."""
+    cfg = small_cfg(max_it=500, map_type="oval", N=15)
+    res = run_lpv_experiment(cfg)
+    assert res.finished, (res.steps, res.states[-1, 0, 6])
+    track = make_track(cfg.map_type)
+    L = float(track.track_length[0])
+    assert res.states[-1, 0, 6] >= L - 0.2
+    # lane kept for the entire lap
+    hw = np.asarray(halfwidth(track, jnp.asarray(res.states[:, 0, 6]),
+                              sm=cfg.limits.sm))
+    assert (np.abs(res.states[:, 0, 3]) <= hw + 0.06).all()
+
+
+def test_multilane_experiment():
+    """Running on lane 1 of a multi-lane track (reference set_lane /
+    Oval2): the agent follows the inner lane's geometry."""
+    cfg = small_cfg(n_agents=1, map_type="Oval2", max_it=40)
+    cfg = dataclasses.replace(cfg, lane=1)
+    res = run_lpv_experiment(cfg)
+    assert res.feasible.all()
+    track = make_track("Oval2")
+    # lane 1 starts at y = 2*2*hw = 2.0; the agent must stay near lane 1's
+    # centerline band, not lane 0's
+    assert abs(res.states[0, 0, 8] - 2.0) < 0.3
+    assert res.states[-1, 0, 6] > 1.0

@@ -113,3 +113,19 @@ def test_hp_coupling_variant():
     s = res.states[:, :, 6]
     assert (s[-1] > 0.4).all()
     assert float(res.ocd_iterations[5:].mean()) < 15
+
+
+def test_nl_long_horizon():
+    """The nonlinear path runs at the reference's LPV horizon class.
+
+    The reference caps its NL/IPOPT planner at N=20 and documents
+    divergence beyond ("solution degradation when attempting longer
+    planning horizons", ECC2024:318; N=50 runs show 87 s outliers). The
+    SQP+Riccati+ADMM path has no such cliff.
+    """
+    cfg = nl_cfg(N=80, max_it=4, ocd=OCDConfig(max_it_ocd=20),
+                 solver=SolverConfig(admm_iters=500, sqp_iters=2))
+    res = run_nl_experiment(cfg)
+    assert res.steps == 4
+    assert res.feasible.all()
+    assert res.min_dist_exec.min() > 0.2
