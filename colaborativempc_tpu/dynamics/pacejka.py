@@ -20,7 +20,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from colaborativempc_tpu.dynamics.bicycle import NX, NU
 
 
 class PacejkaParams(NamedTuple):

@@ -86,7 +86,7 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
                 sol.x_pred[:, :, 1:, 7:9], agent_axis, axis=1, tiled=True)
             diff = new_xy[:, :, None] - new_xy[:, None, :]
             dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-9)
-            g = cfg.limits.min_dist - dist             # (S_l, i, j, N)
+            g = jnp.max(jnp.asarray(cfg.limits.min_dist)) - dist
             if cfg.coupling == "hp":
                 g = 0.5 * g
             upper = (ids[:, None] < ids[None, :]).astype(

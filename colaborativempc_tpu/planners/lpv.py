@@ -34,7 +34,6 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 
 from colaborativempc_tpu.config.params import Gains, ModelParams, SysLimits

@@ -66,9 +66,11 @@ class OCDStepMetrics(NamedTuple):
 
 def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
     """Build the jitted one-control-step function: a full OCD inner loop."""
+    from colaborativempc_tpu.runtime.simulate import _per_agent_limits
     gains = cfg.gains if cfg.gains is not None else nl_gains()
     n_ag = cfg.n_agents
     N = cfg.N
+    limits_pa = _per_agent_limits(cfg)
     ns = jnp.asarray(_neighbour_index(n_ag))                    # (n_ag, n_nb)
     ids = jnp.arange(n_ag)
     # master_mask[i, j] = 1 where i < ns[i, j] (price in ego's cost;
@@ -76,9 +78,10 @@ def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
     master_mask = (ids[:, None] < ns).astype(jnp.float32)
     ocd = cfg.ocd
 
-    def one_agent(x0, x_bar, u_bar, u_old, lam_i, neigh_xy, mmask, w, y, rs):
+    def one_agent(limits, x0, x_bar, u_bar, u_old, lam_i, neigh_xy, mmask,
+                  w, y, rs):
         return nl_solve(
-            track, gains, cfg.limits, cfg.model, N, cfg.dt,
+            track, gains, limits, cfg.model, N, cfg.dt,
             x0, x_bar, u_bar, u_old, lam_i, neigh_xy, mmask,
             w0=w, y0=y, rho_scale0=rs,
             sqp_iters=cfg.solver.sqp_iters, sqp_mix=cfg.solver.line_search,
@@ -93,8 +96,8 @@ def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
         lam = st.lambdas[ids[:, None], ns, :]                 # (n_ag, nb, N)
 
         sol: NLSolution = jax.vmap(one_agent)(
-            x0, st.x_pred, st.u_pred, u_old, lam, neigh, master_mask,
-            st.w, st.y, st.rho_scale)
+            limits_pa, x0, st.x_pred, st.u_pred, u_old, lam, neigh,
+            master_mask, st.w, st.y, st.rho_scale)
 
         # dual ascent on master pairs i < j (NL_EU_N_main.py:130-139):
         # "eu": lambda += alpha * (dth - ||p_i - p_j||)
@@ -103,7 +106,8 @@ def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
         p = sol.x_pred[:, 1:, 7:9]                            # (n_ag, N, 2)
         diff = p[:, None, :, :] - p[None, :, :, :]            # (i, j, N, 2)
         dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-9)
-        g = cfg.limits.min_dist - dist                        # (i, j, N)
+        dth = jnp.max(jnp.asarray(cfg.limits.min_dist))
+        g = dth - dist                                        # (i, j, N)
         if cfg.coupling == "hp":
             g = 0.5 * g
         upper = (ids[:, None] < ids[None, :]).astype(g.dtype)[:, :, None]

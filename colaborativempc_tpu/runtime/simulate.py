@@ -63,18 +63,35 @@ def _pairwise_min_dist(agents_xy: jnp.ndarray) -> jnp.ndarray:
     return jnp.min(dist)
 
 
+def _per_agent_limits(cfg: ExperimentConfig):
+    """Limits as a vmappable pytree with an (n_agents,) leading axis.
+
+    Heterogeneous fleets (e.g. a slow leader being overtaken) set any
+    SysLimits field to an (n_agents,) array; scalars broadcast. The
+    reference shares one sys_lim across the fleet (base_class.py:30-41) —
+    this generalises it with zero cost for the homogeneous case.
+    """
+    import numpy as _np
+    return jax.tree.map(
+        lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.float32),
+                                   (cfg.n_agents,)),
+        cfg.limits)
+
+
 def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
     """Build the jitted one-control-step function for the whole fleet."""
     gains = cfg.gains if cfg.gains is not None else lpv_gains()
     ns = jnp.asarray(_neighbour_index(cfg.n_agents))
     multi = cfg.n_agents > 1
+    limits_pa = _per_agent_limits(cfg)
 
-    def one_agent(x0, x_lin, u_lin, u_old, w, y, rho_scale, neighbours_xy):
+    def one_agent(limits, x0, x_lin, u_lin, u_old, w, y, rho_scale,
+                  neighbours_xy):
         # warm start w/y unshifted: empirically better than the one-stage
         # shift (the constraint geometry moves with the track, not the
         # stage index)
         return lpv_solve(
-            track, gains, cfg.limits, cfg.model, cfg.N, cfg.dt,
+            track, gains, limits, cfg.model, cfg.N, cfg.dt,
             x0, x_lin, u_lin, u_old,
             neighbours_xy if multi else None,
             w0=w, y0=y, rho_scale0=rho_scale,
@@ -90,7 +107,7 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
         # neigh: (n_ag, N+1, n_nb, 2)
 
         sol: LPVSolution = jax.vmap(one_agent)(
-            state.x0, state.x_pred, state.u_pred, state.u_old,
+            limits_pa, state.x0, state.x_pred, state.u_pred, state.u_old,
             state.w, state.y, state.rho_scale, neigh)
 
         new_state = FleetState(

@@ -20,6 +20,11 @@ from colaborativempc_tpu.geometry import make_track, halfwidth
 from colaborativempc_tpu.runtime import run_lpv_experiment
 
 
+def cfg_solver():
+    from colaborativempc_tpu.config import SolverConfig
+    return SolverConfig()
+
+
 def small_cfg(**kw):
     base = dict(n_agents=1, N=15, dt=0.025, max_it=80, map_type="oval",
                 gains=lpv_gains(), verb=0)
@@ -133,3 +138,25 @@ def test_multilane_experiment():
     # centerline band, not lane 0's
     assert abs(res.states[0, 0, 8] - 2.0) < 0.3
     assert res.states[-1, 0, 6] > 1.0
+
+
+def test_overtaking():
+    """Heterogeneous fleet: a fast agent overtakes a slow leader on the
+    same lane line, swerving laterally while keeping the safety distance
+    (per-agent limits generalise the reference's shared sys_lim)."""
+    from colaborativempc_tpu.config import SysLimits
+    lim = SysLimits()._replace(vx_ref=np.array([3.0, 0.6]))
+    cfg = ExperimentConfig(
+        n_agents=2, N=20, dt=0.025, max_it=150, map_type="Highway",
+        gains=lpv_gains(), limits=lim,
+        solver=cfg_solver()._replace(admm_iters=400))
+    x0s = x0_database(2).copy()
+    x0s[0, 0] = 1.5; x0s[0, 3] = 0.0; x0s[0, 6] = 0.0   # fast, behind
+    x0s[1, 0] = 0.6; x0s[1, 3] = 0.0; x0s[1, 6] = 0.8   # slow, ahead
+    res = run_lpv_experiment(cfg, x0s=x0s)
+    s = res.states[:, :, 6]
+    assert res.feasible.all()
+    assert bool(s[-1, 0] > s[-1, 1])                    # overtook
+    assert float(res.min_dist_exec.min()) > 0.25        # safely
+    # the overtake used lateral motion
+    assert float(np.abs(res.states[:, 0, 3]).max()) > 0.2
