@@ -32,9 +32,11 @@ _cache_dir = _os.environ.get("CMPC_JAX_CACHE",
                              _os.path.expanduser("~/.cache/cmpc_jax"))
 try:
     # per-platform subdir: CPU executables cached from a TPU-backed process
-    # carry different codegen feature flags and reload with SIGILL warnings
-    _cache_dir = _os.path.join(
-        _cache_dir, _os.environ.get("JAX_PLATFORMS", "default") or "default")
+    # carry different codegen feature flags and reload with SIGILL warnings.
+    # Prefer the configured value (scripts set it before importing us).
+    _plat = (_jax.config.jax_platforms
+             or _os.environ.get("JAX_PLATFORMS", "default") or "default")
+    _cache_dir = _os.path.join(_cache_dir, _plat.replace(",", "_"))
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

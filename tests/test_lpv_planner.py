@@ -160,3 +160,38 @@ def test_overtaking():
     assert float(res.min_dist_exec.min()) > 0.25        # safely
     # the overtake used lateral motion
     assert float(np.abs(res.states[:, 0, 3]).max()) > 0.2
+
+
+def test_out_of_band_recovery():
+    """Starting outside the shrunk lane band (a soft-constraint violation
+    from step one) must not abort — the planner steers back into the band
+    (the reference's slack design exists exactly for this,
+    LPV_Planner.py:294-303)."""
+    cfg = small_cfg(n_agents=1, max_it=60)
+    x0s = x0_database(1).copy()
+    x0s[0, 3] = 0.62          # band is 0.55 * 0.9 = 0.495
+    res = run_lpv_experiment(cfg, x0s=x0s)
+    assert res.feasible.all()
+    assert abs(res.states[-1, 0, 3]) < 0.45
+
+
+def test_blocked_road_brake_and_bypass():
+    """A stopped vehicle ahead: the follower brakes, keeps the safety
+    distance, and passes when there is room."""
+    from colaborativempc_tpu.config import SysLimits
+    lim = SysLimits()._replace(vx_ref=np.array([3.0, 0.0]),
+                               max_vel=np.array([5.5, 0.01]))
+    cfg = ExperimentConfig(
+        n_agents=2, N=20, dt=0.025, max_it=80, map_type="SL",
+        gains=lpv_gains(), limits=lim,
+        solver=cfg_solver()._replace(admm_iters=400))
+    x0s = x0_database(2).copy()
+    x0s[0, 0] = 2.0; x0s[0, 3] = 0.0; x0s[0, 6] = 0.0
+    x0s[1, 0] = 0.0; x0s[1, 1] = 0.0; x0s[1, 2] = 0.0
+    x0s[1, 3] = 0.0; x0s[1, 6] = 1.2
+    res = run_lpv_experiment(cfg, x0s=x0s)
+    assert res.feasible.all()
+    assert float(res.min_dist_exec.min()) > 0.22
+    vx0 = res.states[:, 0, 0]
+    assert float(vx0.min()) < 1.5          # braked for the obstacle
+    assert res.states[-1, 0, 6] > 2.0      # and got past it
