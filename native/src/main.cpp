@@ -4,6 +4,7 @@
 // LPV collaborative MPC closed loop, reports mean/max solve times.
 //
 // Usage: cmpc_sim <track.csv> [n_agents=3] [N=20] [steps=100] [dt=0.02]
+//        [admm_iters=600]
 //
 // track.csv rows: x0 y0 psi0 s0 len curv hw ; last line: "length <L> <open>"
 #include <chrono>
@@ -64,6 +65,7 @@ int main(int argc, char** argv) {
   const int N = argc > 3 ? std::atoi(argv[3]) : 20;
   const int steps = argc > 4 ? std::atoi(argv[4]) : 100;
   const double dt = argc > 5 ? std::atof(argv[5]) : 0.02;
+  const int admm_iters = argc > 6 ? std::atoi(argv[6]) : 600;
   const int n_nb = n_agents - 1;
 
   Gains g;
@@ -134,7 +136,7 @@ int main(int argc, char** argv) {
       for (int i = 0; i < NX; ++i) z0[i] = x0[a][i];
       for (int i = 0; i < NU; ++i) z0[NX + i] = u_old[a][i];
       const auto t0 = std::chrono::steady_clock::now();
-      Solution sol = admm_solve(qp, z0, 600, 10.0, 1.6, 1e-5);
+      Solution sol = admm_solve(qp, z0, admm_iters, 10.0, 1.6, 1e-5);
       const double ms =
           std::chrono::duration<double, std::milli>(
               std::chrono::steady_clock::now() - t0).count();

@@ -155,3 +155,23 @@ def test_separation_weights():
     w, d = separation_weights(ego, neigh, min_dist=0.25)
     assert np.allclose(np.asarray(d), np.sqrt(2), atol=1e-5)
     assert np.allclose(np.asarray(w), (0.5 - np.sqrt(2)) / 2, atol=1e-5)
+
+
+def test_segment_boundaries_exact():
+    """Lookups exactly at segment joints pick the downstream segment."""
+    from colaborativempc_tpu.geometry import segment_index
+    t = make_track("oval")
+    # oval s0 = [0, 2.0, 7.85, 11.85, 17.7] + closing
+    idx, sw = segment_index(t, 2.0)
+    assert int(idx) == 1 and abs(float(sw) - 2.0) < 1e-6
+    idx, _ = segment_index(t, 1.999)
+    assert int(idx) == 0
+
+
+def test_check_lap_counts():
+    from colaborativempc_tpu.geometry import check_lap
+    t = make_track("oval")
+    L = float(t.track_length[0])
+    assert int(check_lap(t, 0.5 * L)) == 0
+    assert int(check_lap(t, 1.5 * L)) == 1
+    assert int(check_lap(t, 2.5 * L)) == 2

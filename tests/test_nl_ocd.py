@@ -129,3 +129,15 @@ def test_nl_long_horizon():
     assert res.steps == 4
     assert res.feasible.all()
     assert res.min_dist_exec.min() > 0.2
+
+
+def test_rti_mode():
+    """sqp_iters=1 is the real-time-iteration mode (the reference's
+    max_iter: 1 IPOPT trick, NL_Planner_Hp.py:218) - degraded but usable."""
+    cfg = nl_cfg(max_it=25,
+                 solver=SolverConfig(admm_iters=200, sqp_iters=1))
+    res = run_nl_experiment(cfg)
+    assert res.steps == 25
+    assert res.feasible.all()
+    assert res.min_dist_exec.min() > 0.2
+    assert (res.states[-1, :, 6] > 0.3).all()
