@@ -195,3 +195,20 @@ def test_blocked_road_brake_and_bypass():
     vx0 = res.states[:, 0, 0]
     assert float(vx0.min()) < 1.5          # braked for the obstacle
     assert res.states[-1, 0, 6] > 2.0      # and got past it
+
+
+@pytest.mark.parametrize("track_name", ["L_shape", "8_track", "SLAM_shape1",
+                                        "3110"])
+def test_all_track_families_drivable(track_name):
+    """Closed-loop driving on every remaining track family: negative-
+    curvature arcs (L_shape), the self-intersecting figure eight, and the
+    tight SLAM/3110 circuits."""
+    cfg = small_cfg(n_agents=1, map_type=track_name, max_it=100)
+    res = run_lpv_experiment(cfg)
+    assert res.steps == 100
+    assert res.feasible.all()
+    assert res.states[-1, 0, 6] > 5.0
+    track = make_track(track_name)
+    s = jnp.asarray(res.states[:, 0, 6])
+    hw = np.asarray(halfwidth(track, s, sm=cfg.limits.sm))
+    assert (np.abs(res.states[:, 0, 3]) <= hw + 0.05).all()
