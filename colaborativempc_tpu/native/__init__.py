@@ -59,6 +59,14 @@ def load():
             ctypes.c_int, ctypes.c_double, ctypes.c_double,
             dp, dp, dp,
         ]
+        ip = ctypes.POINTER(ctypes.c_int)
+        _lib.cmpc_nl_solve_dt.restype = ctypes.c_int
+        _lib.cmpc_nl_solve_dt.argtypes = [
+            ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+            dp, ctypes.c_double, ctypes.c_int,
+            dp, dp, dp, dp, dp, dp, ip, dp, dp, dp,
+            ctypes.c_int, ctypes.c_double, ctypes.c_int, dp,
+        ]
         _lib.cmpc_step_rk4.restype = None
         _lib.cmpc_step_rk4.argtypes = [
             ctypes.c_int, dp, ctypes.c_double, ctypes.c_int,
@@ -94,6 +102,44 @@ def export_track_csv(track, path: str, lane: int = 0):
 
 def _cptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def nl_solve_native(track, gains, limits, model, N: int, dt: float,
+                    x0, x_bar, u_bar, u_old, lambdas, neigh_xy, master,
+                    sqp_iters: int = 2, mix: float = 0.7,
+                    admm_iters: int = 300):
+    """Native counterpart of planners.nl.nl_solve (coupling='eu').
+
+    lambdas: (n_nb, N); neigh_xy: (N, n_nb, 2) stage-aligned (stages 1..N);
+    master: (n_nb,) ints. Returns (feasible, x_pred, u_pred, residuals)."""
+    lib = load()
+    seg, length, open_flag = track_table(track)
+    n_nb = int(neigh_xy.shape[1])
+    x_bar = np.ascontiguousarray(np.asarray(x_bar, np.float64)).copy()
+    u_bar = np.ascontiguousarray(np.asarray(u_bar, np.float64)).copy()
+    x0 = np.ascontiguousarray(np.asarray(x0, np.float64))
+    u_old = np.ascontiguousarray(np.asarray(u_old, np.float64))
+    neigh = np.ascontiguousarray(np.asarray(neigh_xy, np.float64))
+    lam = np.ascontiguousarray(np.asarray(lambdas, np.float64))
+    mast = np.ascontiguousarray(np.asarray(master, np.int32))
+
+    g = np.concatenate([
+        np.asarray(gains.q, np.float64), np.asarray(gains.qs, np.float64),
+        np.asarray(gains.r, np.float64), np.asarray(gains.dr, np.float64),
+        [float(gains.wq)]])
+    lim = np.asarray([limits.vx_ref, limits.min_dist, limits.max_vel,
+                      limits.min_vel, limits.max_rs, limits.max_ls,
+                      limits.max_ac, limits.max_dc, limits.sm], np.float64)
+    mp = np.asarray([model.lf, model.lr, model.m, model.I, model.Cf,
+                     model.Cr, model.mu], np.float64)
+    resid = np.zeros(3)
+    ok = lib.cmpc_nl_solve_dt(
+        N, dt, n_nb, seg.shape[0], _cptr(seg), length, open_flag,
+        _cptr(x_bar), _cptr(u_bar), _cptr(x0), _cptr(u_old), _cptr(neigh),
+        _cptr(lam), mast.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        _cptr(g), _cptr(lim), _cptr(mp),
+        sqp_iters, mix, admm_iters, _cptr(resid))
+    return bool(ok), x_bar, u_bar, resid
 
 
 def lpv_solve_native(track, gains, limits, model, N: int, dt: float,

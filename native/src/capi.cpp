@@ -5,6 +5,7 @@
 #include <cstring>
 
 #include "cmpc/model.h"
+#include "cmpc/nl.h"
 #include "cmpc/solver.h"
 
 namespace cmpc {
@@ -78,6 +79,40 @@ int cmpc_lpv_solve_dt(int N, double dt, int n_nb, int n_seg,
     for (int i = 0; i < NX; ++i) x_out[k * NX + i] = sol.z[k][i];
   for (int k = 0; k < N; ++k)
     for (int i = 0; i < NU; ++i) u_out[k * NU + i] = sol.z[k + 1][NX + i];
+  if (resid_out) {
+    resid_out[0] = sol.r_prim;
+    resid_out[1] = sol.r_dual;
+    resid_out[2] = static_cast<double>(sol.iterations);
+  }
+  return sol.feasible ? 1 : 0;
+}
+
+// Nonlinear SQP OCD sub-problem solve (planners/nl.py nl_solve twin).
+// x_bar/u_bar are updated in place with the SQP iterates; master: n_nb ints.
+int cmpc_nl_solve_dt(int N, double dt, int n_nb, int n_seg,
+                     const double* seg, double track_len, int open_flag,
+                     double* x_bar, double* u_bar,
+                     const double* x0, const double* u_old,
+                     const double* neigh_xy, const double* lambdas,
+                     const int* master,
+                     const double* gains, const double* limits,
+                     const double* model,
+                     int sqp_iters, double mix, int admm_iters,
+                     double* resid_out) {
+  Track trk = make_track_from_table(n_seg, seg, track_len, open_flag);
+  NLGains g;
+  std::memcpy(g.q.data(), gains, 9 * sizeof(double));
+  g.qs_model = gains[9];
+  g.qs_obs = gains[11];
+  std::memcpy(g.r.data(), gains + 12, 2 * sizeof(double));
+  std::memcpy(g.dr.data(), gains + 14, 2 * sizeof(double));
+  Limits lim{limits[0], limits[1], limits[2], limits[3], limits[4],
+             limits[5], limits[6], limits[7], limits[8]};
+  ModelParams mp{model[0], model[1], model[2], model[3], model[4],
+                 model[5], model[6]};
+  Solution sol = nl_solve_native(trk, g, lim, mp, N, dt, x0, x_bar, u_bar,
+                                 u_old, n_nb, neigh_xy, lambdas, master,
+                                 sqp_iters, mix, admm_iters);
   if (resid_out) {
     resid_out[0] = sol.r_prim;
     resid_out[1] = sol.r_dual;

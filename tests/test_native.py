@@ -100,3 +100,36 @@ def test_native_sim_binary(tmp_path):
     assert out.returncode == 0, out.stdout + out.stderr
     assert "feasible=1" in out.stdout
     assert "solve time" in out.stdout
+
+
+def test_native_nl_matches_jax():
+    """Native NL-SQP sub-problem vs the JAX path on identical inputs
+    (Euclidean coupling, mixed master/slave roles)."""
+    from colaborativempc_tpu.config import nl_gains
+    from colaborativempc_tpu.planners.nl import nl_solve
+
+    track = make_track("Highway")
+    gains, lim, mp = nl_gains(), SysLimits(), ModelParams()
+    N, dt = 12, 0.02
+    x0s = jnp.asarray(x0_database(3), jnp.float32)
+    agents_xy, x_pred, u_pred = initialise_agents(track, x0s, N, dt)
+    # ego = agent 1: master towards 2, slave towards 0
+    neigh_full = np.asarray(agents_xy[:, [0, 2], :], np.float64)
+    master = np.array([0, 1], np.int32)
+    lam = np.full((2, N), 0.3)
+
+    sol = nl_solve(track, gains, lim, mp, N, dt, x_pred[1][0], x_pred[1],
+                   u_pred[1], jnp.zeros(2), jnp.asarray(lam),
+                   jnp.asarray(neigh_full),
+                   jnp.asarray(master, jnp.float32),
+                   sqp_iters=2, sqp_mix=0.7, admm_iters=400, eps=1e-6)
+    ok, x_nat, u_nat, resid = native.nl_solve_native(
+        track, gains, lim, mp, N, dt, np.asarray(x_pred[1][0]),
+        np.asarray(x_pred[1]), np.asarray(u_pred[1]), np.zeros(2),
+        lam, neigh_full[1:], master, sqp_iters=2, mix=0.7, admm_iters=400)
+
+    assert ok and bool(sol.feasible)
+    err = np.abs(x_nat - np.asarray(sol.x_pred)).max()
+    assert err < 1e-2, err
+    err_u = np.abs(u_nat - np.asarray(sol.u_pred)).max()
+    assert err_u < 1e-2, err_u
