@@ -160,7 +160,8 @@ def admm_solve(qp: StageQP, z0: jnp.ndarray,
         return (_es("kmi,ki->km", Dm, z[:-1])
                 + _es("kmi,ki->km", Em, c))
 
-    n_epochs = max(1, -(-iters // epoch_len))
+    # iters rounds DOWN to whole epochs so the stated budget is a hard cap
+    n_epochs = max(1, iters // epoch_len)
 
     def epoch(state: _EpochState) -> _EpochState:
         rv = base_rv * state.rho_scale

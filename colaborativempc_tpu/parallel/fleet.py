@@ -46,7 +46,9 @@ def make_sharded_lpv_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
             x0, x_lin, u_lin, u_old,
             neighbours_xy if multi else None,
             w0=w, y0=y, rho_scale0=rho_scale,
-            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho)
+            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
+            alpha_relax=cfg.solver.alpha_relax,
+            eps=cfg.solver.eps, lane=cfg.lane)
 
     def local_step(state: FleetState):
         # local shapes: (S_l, A_l, ...)

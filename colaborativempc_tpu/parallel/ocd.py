@@ -48,8 +48,9 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
             w0=w, y0=y, rho_scale0=rs,
             sqp_iters=cfg.solver.sqp_iters, sqp_mix=cfg.solver.line_search,
             u_trust=(cfg.solver.u_trust_delta, cfg.solver.u_trust_acc),
-            coupling=cfg.coupling,
-            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho)
+            coupling=cfg.coupling, lane=cfg.lane,
+            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
+            alpha_relax=cfg.solver.alpha_relax, eps=cfg.solver.eps)
 
     def local_step(state: OCDFleetState):
         A_l = state.x0.shape[1]

@@ -196,6 +196,7 @@ def lpv_solve(track: Track, gains: Gains, limits: SysLimits,
               ego_xy: Optional[jnp.ndarray] = None,
               w0=None, y0=None, rho_scale0=1.0,
               admm_iters: int = 100, rho: float = 10.0,
+              alpha_relax: float = 1.6,
               eps: float = 1e-4, lane: int = 0) -> LPVSolution:
     """One LPV-MPC solve (the reference ``PlannerLPV.solve``, :115-182).
 
@@ -227,7 +228,8 @@ def lpv_solve(track: Track, gains: Gains, limits: SysLimits,
     z0 = jnp.concatenate([x0, u_old]).astype(dtype)
     sol: ADMMSolution = admm_solve(qp, z0, w0=w0, y0=y0,
                                    rho_scale0=rho_scale0,
-                                   iters=admm_iters, rho=rho, eps=eps,
+                                   iters=admm_iters, rho=rho,
+                                   alpha=alpha_relax, eps=eps,
                                    epoch_len=10)
 
     x_pred = sol.z[:, :NX]

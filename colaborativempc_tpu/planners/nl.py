@@ -245,6 +245,7 @@ def nl_solve(track: Track, gains: Gains, limits: SysLimits,
              sqp_iters: int = 2, sqp_mix: float = 0.7,
              u_trust=(0.06, 0.6), coupling: str = "eu", lane: int = 0,
              admm_iters: int = 100, rho: float = 10.0,
+             alpha_relax: float = 1.6,
              eps: float = 1e-4) -> NLSolution:
     """One nonlinear OCD sub-problem solve (reference PlannerEu.solve).
 
@@ -261,12 +262,16 @@ def nl_solve(track: Track, gains: Gains, limits: SysLimits,
                          x_lin, u_lin, lambdas, neigh_xy, master_mask,
                          u_trust=u_trust, coupling=coupling, lane=lane)
         sol = admm_solve(qp, z0, w0=w, y0=y, rho_scale0=rs,
-                         iters=admm_iters, rho=rho, eps=eps, epoch_len=10)
+                         iters=admm_iters, rho=rho, alpha=alpha_relax,
+                         eps=eps, epoch_len=10)
         x_new = sol.z[:, :NX]
         u_new = sol.z[1:, NX:]
         x_mix = sqp_mix * x_new + (1.0 - sqp_mix) * x_lin
         u_mix = sqp_mix * u_new + (1.0 - sqp_mix) * u_lin
-        return (x_mix, u_mix, sol.w, sol.y, sol.rho_scale), sol
+        # violations evaluated against THIS iteration's own QP (consistent
+        # linearisation; avoids a whole extra build after the scan)
+        viol = _violations(qp, sol.z, sol.c)
+        return (x_mix, u_mix, sol.w, sol.y, sol.rho_scale), (sol, viol)
 
     if w0 is None:
         n_nb = neigh_xy.shape[1]
@@ -275,15 +280,12 @@ def nl_solve(track: Track, gains: Gains, limits: SysLimits,
         y0 = jnp.zeros_like(w0)
     rs0 = jnp.asarray(rho_scale0, dtype)
 
-    (x_fin, u_fin, w, y, rs), sols = jax.lax.scan(
+    (x_fin, u_fin, w, y, rs), (sols, viols) = jax.lax.scan(
         sqp_iter, (x_bar, u_bar, w0, y0, rs0), None, length=sqp_iters)
 
     last = jax.tree.map(lambda a: a[-1], sols)
-    qp_last = build_nl_qp(track, gains, limits, model, N, dt,
-                          x_fin, u_fin, lambdas, neigh_xy, master_mask,
-                          u_trust=u_trust, coupling=coupling, lane=lane)
     return NLSolution(
         x_pred=x_fin, u_pred=u_fin,
-        du_pred=last.c, s_pred=_violations(qp_last, last.z, last.c),
+        du_pred=last.c, s_pred=viols[-1],
         feasible=last.feasible, w=w, y=y, rho_scale=rs,
         iterations=jnp.sum(sols.iterations), r_prim=last.r_prim)

@@ -72,7 +72,9 @@ def run_lpv_battery(cfg: ExperimentConfig, grid: Sequence[Gains],
             track, gains, cfg.limits, cfg.model, cfg.N, cfg.dt,
             x0, x_lin, u_lin, u_old, neigh if multi else None,
             w0=w, y0=y, rho_scale0=rs,
-            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho)
+            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
+            alpha_relax=cfg.solver.alpha_relax,
+            eps=cfg.solver.eps, lane=cfg.lane)
 
     def fleet_step(gains, state: FleetState):
         agents_xy = jnp.swapaxes(state.x_pred[:, :, 7:9], 0, 1)

@@ -75,7 +75,8 @@ def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
     ids = jnp.arange(n_ag)
     # master_mask[i, j] = 1 where i < ns[i, j] (price in ego's cost;
     # reference NL_Planner_Eu.py:45-50)
-    master_mask = (ids[:, None] < ns).astype(jnp.float32)
+    master_mask = ((ids[:, None] < ns).astype(jnp.float32)
+                   if n_ag > 1 else jnp.ones((1, 1), jnp.float32))
     ocd = cfg.ocd
 
     def one_agent(limits, x0, x_bar, u_bar, u_old, lam_i, neigh_xy, mmask,
@@ -88,12 +89,19 @@ def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
             u_trust=(cfg.solver.u_trust_delta, cfg.solver.u_trust_acc),
             coupling=cfg.coupling, lane=cfg.lane,
             admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
-            eps=cfg.solver.eps)
+            alpha_relax=cfg.solver.alpha_relax, eps=cfg.solver.eps)
 
     def ocd_iteration(st: _OCDLoopState, x0, u_old) -> _OCDLoopState:
         agents_xy = jnp.swapaxes(st.x_pred[:, :, 7:9], 0, 1)  # (N+1, n_ag, 2)
-        neigh = jnp.swapaxes(agents_xy[:, ns, :], 0, 1)       # (n_ag,N+1,nb,2)
-        lam = st.lambdas[ids[:, None], ns, :]                 # (n_ag, nb, N)
+        if n_ag == 1:
+            # placeholder far-away neighbour with a zero price: keeps the
+            # constraint-row count consistent with init_nl_fleet (the LPV
+            # path's disabled-plane-row analogue)
+            neigh = jnp.full((1, N + 1, 1, 2), 1e6, st.x_pred.dtype)
+            lam = jnp.zeros((1, 1, N), st.x_pred.dtype)
+        else:
+            neigh = jnp.swapaxes(agents_xy[:, ns, :], 0, 1)   # (n_ag,N+1,nb,2)
+            lam = st.lambdas[ids[:, None], ns, :]             # (n_ag, nb, N)
 
         sol: NLSolution = jax.vmap(one_agent)(
             limits_pa, x0, st.x_pred, st.u_pred, u_old, lam, neigh,
@@ -245,7 +253,8 @@ def run_nl_experiment(cfg: ExperimentConfig,
         if not bool(np.any(hist["feas"][-1])):
             break
         if bool(np.any(np.asarray(
-                check_end(track, state.x0[:, 6], laps=cfg.laps)))):
+                check_end(track, state.x0[:, 6], laps=cfg.laps,
+                          lane=cfg.lane)))):
             finished = True
             break
         it += 1

@@ -96,6 +96,7 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
             neighbours_xy if multi else None,
             w0=w, y0=y, rho_scale0=rho_scale,
             admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
+            alpha_relax=cfg.solver.alpha_relax,
             eps=cfg.solver.eps, lane=cfg.lane)
 
     def step(state: FleetState):

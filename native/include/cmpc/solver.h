@@ -30,6 +30,7 @@ struct StageQP {
 struct Factors {
   std::vector<Mat> K, Lchol, Qxu;
   std::vector<Vec> m;  // P_{k+1} d_k
+  bool ok = true;      // false if any Quu Cholesky failed (non-SPD)
 };
 
 struct Solution {

@@ -33,7 +33,7 @@ Factors lqr_factorize(const StageQP& qp, const std::vector<Mat>& Qa,
         Quu(i, j) = Quu(j, i) = v;
       }
     Mat L = Quu;
-    cholesky(L);
+    if (!cholesky(L)) fac.ok = false;
     Mat K = cho_solve_mat(L, transpose(Qxu));
     for (auto& v : K.d) v = -v;
     fac.m[k] = matvec(P, qp.d[k]);
@@ -101,7 +101,8 @@ Solution admm_solve(const StageQP& qp, const Vec& z0, int iters, double rho,
       sol.w[k][j] = std::clamp(sol.w[k][j], qp.lo[k][j], qp.hi[k][j]);
   sol.rho_scale = rho_scale0;
 
-  const int n_epochs = std::max(1, (iters + epoch_len - 1) / epoch_len);
+  // iters rounds DOWN to whole epochs so the stated budget is a hard cap
+  const int n_epochs = std::max(1, iters / epoch_len);
   std::vector<Mat> Qa(qp.N + 1), Ra(qp.N), Sa(qp.N);
   std::vector<Vec> qlin(qp.N + 1), rlin(qp.N);
 
@@ -130,6 +131,11 @@ Solution admm_solve(const StageQP& qp, const Vec& z0, int iters, double rho,
       }
     }
     Factors fac = lqr_factorize(qp, Qa, Ra, Sa);
+    if (!fac.ok) {  // non-SPD stage Hessian: report failure, don't emit NaNs
+      sol.r_prim = kInf;
+      sol.feasible = false;
+      return sol;
+    }
 
     std::vector<Vec> w_prev;
     for (int it = 0; it < epoch_len; ++it) {
@@ -186,7 +192,7 @@ Solution admm_solve(const StageQP& qp, const Vec& z0, int iters, double rho,
       for (auto& v : yk) v *= corr;
     sol.rho_scale = ns;
   }
-  sol.feasible = sol.r_prim < 2e-3;
+  sol.feasible = std::isfinite(sol.r_prim) && sol.r_prim < 2e-3;
   return sol;
 }
 

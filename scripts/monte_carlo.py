@@ -49,7 +49,9 @@ def main():
     state = batch_fleet_state(init_lpv_fleet(track, cfg), args.scenarios)
     rng = np.random.default_rng(0)
     pert = rng.normal(size=state.x0.shape) * args.noise
-    pert[:, :, 5:] = 0.0  # perturb dynamic states, keep poses consistent
+    pert[:, :, 3:] = 0.0  # perturb only (vx, vy, wz): the pose states
+    #                        (ey, epsi, theta, s, X, Y) are redundant
+    #                        Frenet/Cartesian pairs that must stay consistent
     state = state._replace(x0=state.x0 + jnp.asarray(pert, state.x0.dtype))
 
     step = jax.jit(jax.vmap(make_lpv_fleet_step(track, cfg)))

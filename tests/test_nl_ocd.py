@@ -141,3 +141,13 @@ def test_rti_mode():
     assert res.feasible.all()
     assert res.min_dist_exec.min() > 0.2
     assert (res.states[-1, :, 6] > 0.3).all()
+
+
+def test_single_agent_nl():
+    """n_agents=1 NL experiment (regression: the warm-start row count must
+    match the QP's placeholder-neighbour row)."""
+    cfg = nl_cfg(n_agents=1, max_it=20)
+    res = run_nl_experiment(cfg)
+    assert res.steps == 20
+    assert res.feasible.all()
+    assert res.states[-1, 0, 6] > 0.3
