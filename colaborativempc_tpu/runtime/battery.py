@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from colaborativempc_tpu.config.params import (
     ExperimentConfig, Gains, lpv_gains,
 )
-from colaborativempc_tpu.geometry import Track, make_track, check_end
+from colaborativempc_tpu.geometry import Track, make_track
 from colaborativempc_tpu.planners.lpv import lpv_solve, LPVSolution
 from colaborativempc_tpu.runtime.simulate import (
     FleetState, init_lpv_fleet, _neighbour_index,

@@ -33,11 +33,16 @@ class ExperimentIO:
     (called once per control step with (it, state, metrics, step_time)).
     """
 
-    def __init__(self, cfg, path: Optional[str] = None):
+    def __init__(self, cfg, path: Optional[str] = None,
+                 live_plot_every: int = 0):
         self.cfg = cfg
         self.path = path if path is not None else cfg.path
         self.verb = cfg.verb
         self.n_agents = cfg.n_agents
+        # live mode (reference plot:1 online animation): refresh a PNG every
+        # k control steps instead of an interactive window (headless-safe)
+        self.live_plot_every = live_plot_every
+        self._track = None
         self.states = [[] for _ in range(cfg.n_agents)]
         self.inputs = [[] for _ in range(cfg.n_agents)]
         self.look_ahead = [[] for _ in range(cfg.n_agents)]
@@ -76,6 +81,17 @@ class ExperimentIO:
         if self.verb >= 2 and hasattr(metrics, "min_dist_exec"):
             print(f"         min_dist_exec={float(metrics.min_dist_exec):.3f}"
                   f" feasible={np.asarray(metrics.feasible)}")
+        if self.live_plot_every and (it + 1) % self.live_plot_every == 0:
+            self._render_live()
+
+    def _render_live(self):
+        from colaborativempc_tpu.geometry import make_track
+        from colaborativempc_tpu.runtime.plotting import plot_experiment
+        if self._track is None:
+            self._track = make_track(self.cfg.map_type)
+        states = np.stack([np.asarray(s) for s in
+                           zip(*self.states)], axis=0)  # (T, n_ag, 9)
+        plot_experiment(self._track, states, path=self.path, name="live.png")
 
     # ---- persistence (reference schema) ----------------------------------
     def save_to_csv(self):

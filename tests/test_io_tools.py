@@ -156,3 +156,49 @@ def test_sysid_regression_recovers_dynamics():
                              jnp.asarray(u, jnp.float32), 1e-6)
     assert np.allclose(np.asarray(Ae), A, atol=1e-2)
     assert np.allclose(np.asarray(Be), B, atol=1e-2)
+
+
+def test_live_plot_mode(tmp_path):
+    """Online plotting mode (reference plot:1): a live PNG refreshes during
+    the run."""
+    cfg = ExperimentConfig(n_agents=2, N=10, dt=0.025, max_it=6,
+                           map_type="oval", gains=lpv_gains(),
+                           path=str(tmp_path))
+    from colaborativempc_tpu.runtime.io import ExperimentIO
+    io = ExperimentIO(cfg, live_plot_every=3)
+    run_lpv_experiment(cfg, io=io)
+    assert os.path.exists(tmp_path / "live.png")
+
+
+def test_fleet_mesh_factorisation():
+    from colaborativempc_tpu.parallel import fleet_mesh
+    mesh, n_scen = fleet_mesh(n_agents=4)
+    assert mesh.devices.size == 8
+    assert mesh.shape["agent"] * mesh.shape["scen"] == 8
+    assert mesh.shape["agent"] <= 4
+    assert 4 % mesh.shape["agent"] == 0
+
+
+def test_ocd_checkpoint_roundtrip(tmp_path):
+    from colaborativempc_tpu.runtime.checkpoint import (
+        save_checkpoint, load_checkpoint,
+    )
+    from colaborativempc_tpu.config import nl_gains, OCDConfig
+    from colaborativempc_tpu.runtime import init_nl_fleet, make_nl_ocd_step
+    from colaborativempc_tpu.geometry import make_track
+
+    cfg = ExperimentConfig(n_agents=2, N=8, dt=0.02, map_type="oval",
+                           gains=nl_gains(), ocd=OCDConfig(max_it_ocd=10),
+                           solver=SolverConfig(admm_iters=150, sqp_iters=1))
+    track = make_track(cfg.map_type)
+    step = make_nl_ocd_step(track, cfg)
+    state = init_nl_fleet(track, cfg)
+    state, _ = step(state)
+    ckpt = str(tmp_path / "ocd.npz")
+    save_checkpoint(ckpt, state, 1)
+    resumed, it = load_checkpoint(ckpt, init_nl_fleet(track, cfg))
+    assert it == 1
+    a, _ = step(state)
+    b, _ = step(resumed)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        assert np.allclose(np.asarray(x), np.asarray(y), atol=1e-6)
