@@ -57,6 +57,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", default="/root/reference/planner/scripts/data/"
                     "experiments_paper/LPV3r_agent_laptop")
+    ap.add_argument("--planner", choices=["lpv", "nl"], default="lpv")
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--N", type=int, default=125)
     ap.add_argument("--dt", type=float, default=0.025)
@@ -65,17 +66,28 @@ def main():
     args = ap.parse_args()
 
     from colaborativempc_tpu.config import (
-        ExperimentConfig, lpv_gains, SolverConfig,
+        ExperimentConfig, lpv_gains, nl_gains, SolverConfig, OCDConfig,
     )
-    from colaborativempc_tpu.runtime import run_lpv_experiment
+    from colaborativempc_tpu.runtime import (
+        run_lpv_experiment, run_nl_experiment,
+    )
 
     ref = load_reference(args.ref)
     T = min(args.steps, len(ref))
 
-    cfg = ExperimentConfig(
-        n_agents=3, N=args.N, dt=args.dt, max_it=T, map_type="Highway",
-        gains=lpv_gains(), solver=SolverConfig(admm_iters=1000))
-    res = run_lpv_experiment(cfg)
+    if args.planner == "lpv":
+        cfg = ExperimentConfig(
+            n_agents=3, N=args.N, dt=args.dt, max_it=T, map_type="Highway",
+            gains=lpv_gains(), solver=SolverConfig(admm_iters=1000))
+        res = run_lpv_experiment(cfg)
+    else:
+        cfg = ExperimentConfig(
+            n_agents=3, N=args.N, dt=args.dt, max_it=T, map_type="Highway",
+            gains=nl_gains(), ocd=OCDConfig(max_it_ocd=30),
+            solver=SolverConfig(admm_iters=300, sqp_iters=2))
+        res = run_nl_experiment(cfg)
+        print(f"OCD iterations: mean {res.ocd_iterations.mean():.2f} "
+              f"(reference NL_3agents_def OCD_it.dat mean: 4.00)")
     ours = res.states
 
     Tc = min(len(ours), T)
