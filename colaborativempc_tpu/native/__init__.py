@@ -153,9 +153,10 @@ def lpv_solve_native(track, gains, limits, model, N: int, dt: float,
     lib = load()
     seg, length, open_flag = track_table(track)
     n_nb = 0 if neighbours_xy is None else int(neighbours_xy.shape[1])
-    neigh = (np.zeros((N, 1, 2)) if neighbours_xy is None
+    # native expects N+1 stage rows (planes from 0..N-1, weights from 1..N)
+    neigh = (np.zeros((N + 1, 1, 2)) if neighbours_xy is None
              else np.ascontiguousarray(
-                 np.asarray(neighbours_xy, np.float64)[:N]))
+                 np.asarray(neighbours_xy, np.float64)[:N + 1]))
 
     g = np.concatenate([
         np.asarray(gains.q, np.float64), np.asarray(gains.qs, np.float64),

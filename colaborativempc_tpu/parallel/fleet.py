@@ -24,7 +24,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from colaborativempc_tpu.config.params import ExperimentConfig, lpv_gains
 from colaborativempc_tpu.geometry import Track
 from colaborativempc_tpu.planners.lpv import lpv_solve, LPVSolution
-from colaborativempc_tpu.runtime.simulate import FleetState, StepMetrics
+from colaborativempc_tpu.runtime.simulate import (
+    FleetState, StepMetrics, _per_agent_limits,
+)
 
 
 def make_sharded_lpv_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
@@ -39,10 +41,12 @@ def make_sharded_lpv_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
     gains = cfg.gains if cfg.gains is not None else lpv_gains()
     n_ag = cfg.n_agents
     multi = n_ag > 1
+    limits_pa = _per_agent_limits(cfg)  # heterogeneous fleets supported
 
-    def one_agent(x0, x_lin, u_lin, u_old, w, y, rho_scale, neighbours_xy):
+    def one_agent(limits, x0, x_lin, u_lin, u_old, w, y, rho_scale,
+                  neighbours_xy):
         return lpv_solve(
-            track, gains, cfg.limits, cfg.model, cfg.N, cfg.dt,
+            track, gains, limits, cfg.model, cfg.N, cfg.dt,
             x0, x_lin, u_lin, u_old,
             neighbours_xy if multi else None,
             w0=w, y0=y, rho_scale0=rho_scale,
@@ -68,8 +72,9 @@ def make_sharded_lpv_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
         def solve_scenario(x0, x_lin, u_lin, u_old, w, y, rs, all_xy_s):
             def solve_agent(local_a, x0a, xla, ula, uoa, wa, ya, rsa):
                 gid = a_idx * A_l + local_a
+                lim_a = jax.tree.map(lambda v: v[gid], limits_pa)
                 nb = jnp.swapaxes(neighbours_of(gid, all_xy_s), 0, 1)
-                return one_agent(x0a, xla, ula, uoa, wa, ya, rsa, nb)
+                return one_agent(lim_a, x0a, xla, ula, uoa, wa, ya, rsa, nb)
             return jax.vmap(solve_agent)(
                 jnp.arange(A_l), x0, x_lin, u_lin, u_old, w, y, rs)
 

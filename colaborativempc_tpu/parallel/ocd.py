@@ -25,6 +25,7 @@ from colaborativempc_tpu.planners.nl import nl_solve, NLSolution
 from colaborativempc_tpu.runtime.ocd import (
     OCDFleetState, OCDStepMetrics, _OCDLoopState,
 )
+from colaborativempc_tpu.runtime.simulate import _per_agent_limits
 
 
 def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
@@ -40,10 +41,12 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
     n_ag = cfg.n_agents
     N = cfg.N
     ocd = cfg.ocd
+    limits_pa = _per_agent_limits(cfg)
 
-    def one_agent(x0, x_bar, u_bar, u_old, lam_i, neigh_xy, mmask, w, y, rs):
+    def one_agent(limits, x0, x_bar, u_bar, u_old, lam_i, neigh_xy, mmask,
+                  w, y, rs):
         return nl_solve(
-            track, gains, cfg.limits, cfg.model, N, cfg.dt,
+            track, gains, limits, cfg.model, N, cfg.dt,
             x0, x_bar, u_bar, u_old, lam_i, neigh_xy, mmask,
             w0=w, y0=y, rho_scale0=rs,
             sqp_iters=cfg.solver.sqp_iters, sqp_mix=cfg.solver.line_search,
@@ -68,13 +71,14 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
                              all_xy_s):
                 def per_agent(la, x0a, xpa, upa, uoa, wa, ya, rsa):
                     gid = gids[la]
+                    lim_a = jax.tree.map(lambda v: v[gid], limits_pa)
                     rolled = jnp.roll(all_xy_s, -(gid + 1), axis=0)
                     nb_xy = jnp.swapaxes(rolled[: n_ag - 1], 0, 1)
                     nb_ids = jnp.roll(ids, -(gid + 1))[: n_ag - 1]
                     mmask = (gid < nb_ids).astype(xpa.dtype)
                     lam_i = lam[gid, nb_ids, :]        # (n_nb, N)
-                    return one_agent(x0a, xpa, upa, uoa, lam_i, nb_xy,
-                                     mmask, wa, ya, rsa)
+                    return one_agent(lim_a, x0a, xpa, upa, uoa, lam_i,
+                                     nb_xy, mmask, wa, ya, rsa)
                 return jax.vmap(per_agent)(
                     jnp.arange(A_l), x0, x_pred, u_pred, u_old, w, y, rs)
 

@@ -106,15 +106,16 @@ def build_mpcc_qp(track: Track, gains: MPCCGains, p: PacejkaParams,
     soft_hi = jnp.full((N, m), INF, dtype)
 
     F_, G_ = dyn.F, dyn.G
+    d_ = dyn.d  # rows composed through the dynamics see x_{k+1} - d_k
 
     def next_state_rows(j):
-        return F_[:, j, :], G_[:, j, :]
+        return F_[:, j, :], G_[:, j, :], d_[:, j]
 
     # track corridor on ey_{k+1}, soft both sides (constraints.cpp:30)
     ey_ub = halfwidth(track, x_bar[:N, 6], sm=0.95).astype(dtype)
-    Dey, Eey = next_state_rows(3)
+    Dey, Eey, dey = next_state_rows(3)
     D = D.at[:, 0, :].set(Dey); E = E.at[:, 0, :].set(Eey)
-    lo = lo.at[:, 0].set(-ey_ub); hi = hi.at[:, 0].set(ey_ub)
+    lo = lo.at[:, 0].set(-ey_ub - dey); hi = hi.at[:, 0].set(ey_ub - dey)
     soft_lo = soft_lo.at[:, 0].set(gains.w_soft)
     soft_hi = soft_hi.at[:, 0].set(gains.w_soft)
 
@@ -159,9 +160,9 @@ def build_mpcc_qp(track: Track, gains: MPCCGains, p: PacejkaParams,
         soft_hi = soft_hi.at[:, row].set(gains.w_soft)
 
     # vx >= 0 (keep the car moving forward), soft
-    Dv, Ev = next_state_rows(0)
+    Dv, Ev, dv = next_state_rows(0)
     D = D.at[:, 6, :].set(Dv); E = E.at[:, 6, :].set(Ev)
-    lo = lo.at[:, 6].set(0.05)
+    lo = lo.at[:, 6].set(0.05 - dv)
     soft_lo = soft_lo.at[:, 6].set(gains.w_soft)
 
     return StageQP(dyn=dyn, cost=cost, D=D, E=E, lo=lo, hi=hi,

@@ -154,24 +154,26 @@ def build_nl_qp(track: Track, gains: Gains, limits: SysLimits,
     soft_hi = jnp.full((N, m), INF, dtype)
 
     F_, G_ = dyn.F, dyn.G
+    d_ = dyn.d  # rows composed through the dynamics see x_{k+1} - d_k, so
+    #             every bound below must be shifted by the row's d-part
 
     def next_state_rows(j):
-        return F_[:, j, :], G_[:, j, :]
+        return F_[:, j, :], G_[:, j, :], d_[:, j]
 
     # velocity band, soft BOTH sides (base_nl slack_agent[:,1],
     # NL_Planner_Eu.py:60)
-    Dv, Ev = next_state_rows(0)
+    Dv, Ev, dv = next_state_rows(0)
     D = D.at[:, 0, :].set(Dv); E = E.at[:, 0, :].set(Ev)
-    lo = lo.at[:, 0].set(limits.min_vel)
-    hi = hi.at[:, 0].set(limits.max_vel)
+    lo = lo.at[:, 0].set(limits.min_vel - dv)
+    hi = hi.at[:, 0].set(limits.max_vel - dv)
     soft_lo = soft_lo.at[:, 0].set(gains.qs[0])
     soft_hi = soft_hi.at[:, 0].set(gains.qs[0])
 
     # lateral error band, soft both sides (NL_Planner_Eu.py:62)
     ey_ub = (halfwidth(track, x_bar[:N, 6], lane, sm=limits.sm)).astype(dtype)
-    Dey, Eey = next_state_rows(3)
+    Dey, Eey, dey = next_state_rows(3)
     D = D.at[:, 1, :].set(Dey); E = E.at[:, 1, :].set(Eey)
-    lo = lo.at[:, 1].set(-ey_ub); hi = hi.at[:, 1].set(ey_ub)
+    lo = lo.at[:, 1].set(-ey_ub - dey); hi = hi.at[:, 1].set(ey_ub - dey)
     soft_lo = soft_lo.at[:, 1].set(gains.qs[0])
     soft_hi = soft_hi.at[:, 1].set(gains.qs[0])
 
@@ -197,11 +199,12 @@ def build_nl_qp(track: Track, gains: Gains, limits: SysLimits,
     lo = lo.at[:, 3].set(lo_a.astype(dtype))
     hi = hi.at[:, 3].set(hi_a.astype(dtype))
 
-    Dx_, Ex_ = next_state_rows(7)
-    Dy_, Ey_ = next_state_rows(8)
+    Dx_, Ex_, ddx = next_state_rows(7)
+    Dy_, Ey_, ddy = next_state_rows(8)
     gx = g_hat[..., 0]; gy = g_hat[..., 1]
     Dds = gx[:, :, None] * Dx_[:, None, :] + gy[:, :, None] * Dy_[:, None, :]
     Eds = gx[:, :, None] * Ex_[:, None, :] + gy[:, :, None] * Ey_[:, None, :]
+    dds = gx * ddx[:, None] + gy * ddy[:, None]          # (N, n_nb)
     D = D.at[:, 4:, :].set(Dds.astype(dtype))
     E = E.at[:, 4:, :].set(Eds.astype(dtype))
     slave = (1.0 - master_mask)[None, :]
@@ -212,13 +215,13 @@ def build_nl_qp(track: Track, gains: Gains, limits: SysLimits,
         # row g_hat.p with offset g_hat.mid bounds BOTH roles from below:
         mid = 0.5 * (p_bar[:, None, :] + neigh_xy[1:])
         bound = (limits.min_dist / 2.0
-                 + jnp.sum(g_hat * mid, axis=-1))
+                 + jnp.sum(g_hat * mid, axis=-1) - dds)
         lo = lo.at[:, 4:].set(bound.astype(dtype))
     else:
         # slave-only linearised distance rows, soft (obs slack Qs[2],
         # NL_Planner_Eu.py:71). Disabled (lo = -inf) on master pairs.
         bound = (limits.min_dist - dist
-                 + jnp.sum(g_hat * p_bar[:, None, :], axis=-1))
+                 + jnp.sum(g_hat * p_bar[:, None, :], axis=-1) - dds)
         lo = lo.at[:, 4:].set(
             jnp.where(slave > 0, bound.astype(dtype), -INF))
     soft_lo = soft_lo.at[:, 4:].set(gains.qs[2])
@@ -227,12 +230,8 @@ def build_nl_qp(track: Track, gains: Gains, limits: SysLimits,
                    soft_lo=soft_lo, soft_hi=soft_hi)
 
 
-def _violations(qp: StageQP, z: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-    v = (jnp.einsum("kmi,ki->km", qp.D, z[:-1])
-         + jnp.einsum("kmi,ki->km", qp.E, c))
-    over = jnp.maximum(v - qp.hi, 0.0) + jnp.maximum(qp.lo - v, 0.0)
-    return jnp.stack([over[:, 0], over[:, 1],
-                      jnp.max(over[:, 4:], axis=-1)], axis=-1)
+from colaborativempc_tpu.planners.lpv import _violations  # noqa: E402
+# (identical row layout: vel, ey, 2 input rows, coupling rows 4+)
 
 
 def nl_solve(track: Track, gains: Gains, limits: SysLimits,

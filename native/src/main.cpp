@@ -108,8 +108,9 @@ int main(int argc, char** argv) {
   bool all_ok = true;
   for (int it = 0; it < steps; ++it) {
     // exchange: every agent reads everyone's previous (X, Y) plan
-    std::vector<double> all_xy(static_cast<size_t>(N) * n_agents * 2);
-    for (int k = 0; k < N; ++k)
+    // (N+1 stage rows: planes use 0..N-1, weights 1..N)
+    std::vector<double> all_xy(static_cast<size_t>(N + 1) * n_agents * 2);
+    for (int k = 0; k <= N; ++k)
       for (int a = 0; a < n_agents; ++a) {
         all_xy[(static_cast<size_t>(k) * n_agents + a) * 2] =
             x_pred[a][k * NX + 7];
@@ -117,8 +118,8 @@ int main(int argc, char** argv) {
             x_pred[a][k * NX + 8];
       }
     for (int a = 0; a < n_agents; ++a) {
-      std::vector<double> neigh(static_cast<size_t>(N) * n_nb * 2);
-      for (int k = 0; k < N; ++k) {
+      std::vector<double> neigh(static_cast<size_t>(N + 1) * n_nb * 2);
+      for (int k = 0; k <= N; ++k) {
         int c = 0;
         for (int b = 0; b < n_agents; ++b) {
           if (b == a) continue;

@@ -106,21 +106,24 @@ StageQP build_nl_qp_native(const Track& trk, const NLGains& g,
     qp.q[k + 1][0] = -2.0 * g.q[0] * lim.vx_ref;
     for (int j = 0; j < NU; ++j) qp.R[k](j, j) = 2.0 * g.dr[j];
 
+    // rows composed through the dynamics see x_{k+1} - d_k: shift every
+    // bound by the row's d-part
     auto set_next_row = [&](int row, int si, double scale) {
       for (int j = 0; j < NZ; ++j) qp.D[k](row, j) += scale * F(si, j);
       for (int j = 0; j < NC; ++j) qp.E[k](row, j) += scale * G(si, j);
+      return scale * rd[si];
     };
     // velocity band, soft both sides
-    set_next_row(0, 0, 1.0);
-    qp.lo[k][0] = lim.min_vel;
-    qp.hi[k][0] = lim.max_vel;
+    double doff = set_next_row(0, 0, 1.0);
+    qp.lo[k][0] = lim.min_vel - doff;
+    qp.hi[k][0] = lim.max_vel - doff;
     qp.soft_lo[k][0] = qs_m;
     qp.soft_hi[k][0] = qs_m;
     // ey band, soft
-    set_next_row(1, 3, 1.0);
+    doff = set_next_row(1, 3, 1.0);
     const double ub = trk.halfwidth(x_bar[k * NX + 6], lim.sm);
-    qp.lo[k][1] = -ub;
-    qp.hi[k][1] = ub;
+    qp.lo[k][1] = -ub - doff;
+    qp.hi[k][1] = ub - doff;
     qp.soft_lo[k][1] = qs_m;
     qp.soft_hi[k][1] = qs_m;
     // input box intersected with trust region
@@ -147,9 +150,9 @@ StageQP build_nl_qp_native(const Track& trk, const NLGains& g,
         qp.q[k + 1][7] += -lam * gx;
         qp.q[k + 1][8] += -lam * gy;
       } else {
-        set_next_row(row, 7, gx);
-        set_next_row(row, 8, gy);
-        qp.lo[k][row] = lim.min_dist - dist + gx * px + gy * py;
+        double dofr = set_next_row(row, 7, gx);
+        dofr += set_next_row(row, 8, gy);
+        qp.lo[k][row] = lim.min_dist - dist + gx * px + gy * py - dofr;
         qp.soft_lo[k][row] = qs_o;
       }
     }

@@ -20,7 +20,10 @@ struct PlaneSet {
 
 static PlaneSet compute_planes(int N, int n_nb, const double* ego_xy,
                                const double* neigh_xy, double min_dist) {
-  // geometry/planes.py compute_hyperplanes(keep_sign) + separation_weights
+  // geometry/planes.py compute_hyperplanes(keep_sign) + separation_weights.
+  // ego_xy/neigh_xy carry N+1 stage rows; planes use stages 0..N-1
+  // (LPV_Planner.py:138 via compute_hyperplane) and weights use stages
+  // 1..N (misc.py:10-18 operates on pose[1:]), matching the JAX path.
   PlaneSet out;
   out.abc.assign(static_cast<size_t>(N) * n_nb * 3, 0.0);
   out.w.assign(static_cast<size_t>(N) * n_nb, 0.0);
@@ -35,11 +38,14 @@ static PlaneSet compute_planes(int N, int n_nb, const double* ego_xy,
       const double b = -0.5 * (ax * (ex + nx) + ay * (ey + ny));
       double* row = &out.abc[((static_cast<size_t>(k) * n_nb) + nb) * 3];
       row[0] = ax; row[1] = ay; row[2] = b;
-      // weights use stage k+1 positions in the JAX path; stage-k here is a
-      // one-step lag matching the reference's own indexing slack
-      const double dist = norm;
+      const double e1x = ego_xy[2 * (k + 1)], e1y = ego_xy[2 * (k + 1) + 1];
+      const double n1x = neigh_xy[(((k + 1) * n_nb) + nb) * 2];
+      const double n1y = neigh_xy[(((k + 1) * n_nb) + nb) * 2 + 1];
+      const double dist1 = std::max(
+          std::sqrt((e1x - n1x) * (e1x - n1x) + (e1y - n1y) * (e1y - n1y)),
+          1e-9);
       out.w[static_cast<size_t>(k) * n_nb + nb] =
-          (2.0 * min_dist - dist) / n_nb;
+          (2.0 * min_dist - dist1) / n_nb;
     }
   }
   return out;
@@ -64,9 +70,9 @@ StageQP build_lpv_qp(const Track& trk, const Gains& g, const Limits& lim,
   const double qs2 = std::min(g.qs[2], kSoftCap);
 
   PlaneSet planes;
-  std::vector<double> ego_xy(static_cast<size_t>(N) * 2);
+  std::vector<double> ego_xy(static_cast<size_t>(N + 1) * 2);
   if (n_nb > 0) {
-    for (int k = 0; k < N; ++k) {
+    for (int k = 0; k <= N; ++k) {
       ego_xy[2 * k] = x_lin[k * NX + 7];
       ego_xy[2 * k + 1] = x_lin[k * NX + 8];
     }

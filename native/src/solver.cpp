@@ -134,6 +134,11 @@ Solution admm_solve(const StageQP& qp, const Vec& z0, int iters, double rho,
     if (!fac.ok) {  // non-SPD stage Hessian: report failure, don't emit NaNs
       sol.r_prim = kInf;
       sol.feasible = false;
+      // keep z/c allocated so callers can index the (meaningless) result
+      if (sol.z.empty()) {
+        sol.z.assign(qp.N + 1, z0);
+        sol.c.assign(qp.N, Vec(qp.nc, 0.0));
+      }
       return sol;
     }
 
@@ -192,7 +197,9 @@ Solution admm_solve(const StageQP& qp, const Vec& z0, int iters, double rho,
       for (auto& v : yk) v *= corr;
     sol.rho_scale = ns;
   }
-  sol.feasible = std::isfinite(sol.r_prim) && sol.r_prim < 2e-3;
+  // tolerant acceptance matching the Python twin (feas_tol = 1e-2; see
+  // CLAUDE.md invariants and ops/admm.py)
+  sol.feasible = std::isfinite(sol.r_prim) && sol.r_prim < 1e-2;
   return sol;
 }
 
