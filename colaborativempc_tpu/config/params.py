@@ -78,12 +78,34 @@ def nl_gains() -> Gains:
 
 
 class OCDConfig(NamedTuple):
-    """Dual-coordination knobs (reference config_NL.py:29-33, NL/config.py:5-8)."""
+    """Dual-coordination knobs (reference config_NL.py:29-33, NL/config.py:5-8).
+
+    ``adaptive_alpha`` enables a sign-balancing per-(pair, stage) dual step
+    (RPROP-style: grow the step while the constraint residual keeps one
+    sign, shrink on oscillation). The reference uses the fixed ``alpha``
+    (get_alpha, NL/config.py:5-8) — keep False for behavioural parity;
+    True cuts coordination iteration counts when gains are soft or the
+    horizon is long (see BENCH.md).
+    """
     alpha: float = 0.25     # dual ascent step
     it_conv: int = 2        # consecutive converged iterations required
     max_it_ocd: int = 50    # iteration cap (divergence guard)
     min_it_ocd: int = 2     # forced minimum iterations
     atol: float = 0.01      # trajectory-change convergence tolerance
+    adaptive_alpha: bool = False
+    alpha_grow: float = 1.3     # step multiplier on persistent residual sign
+    alpha_shrink: float = 0.5   # step multiplier on residual sign flip
+    alpha_span: float = 8.0     # clamp: alpha/span <= step <= alpha*span
+    # Dual projection floor. The coupling g = dth - dist is an inequality
+    # residual, so the textbook dual ascent projects lambda onto [0, inf).
+    # The reference omits the projection (lambdas += alpha*cost,
+    # NL_EU_N_main.py:138-139; eval_constraintEU is unclipped,
+    # NL/config.py:19-23), which lets lambda drift unboundedly NEGATIVE over
+    # long runs while agents are separated; a large negative price is an
+    # ATTRACTION between master and neighbour and was observed to jam and
+    # then numerically diverge the mh-gains course at ~280 steps. 0.0 is the
+    # correct projected update; set to -inf for raw reference semantics.
+    lambda_lo: float = 0.0
 
 
 class SolverConfig(NamedTuple):

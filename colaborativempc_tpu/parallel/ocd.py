@@ -23,7 +23,8 @@ from colaborativempc_tpu.config.params import ExperimentConfig, nl_gains
 from colaborativempc_tpu.geometry import Track
 from colaborativempc_tpu.planners.nl import nl_solve, NLSolution
 from colaborativempc_tpu.runtime.ocd import (
-    OCDFleetState, OCDStepMetrics, _OCDLoopState,
+    OCDFleetState, OCDStepMetrics, _OCDLoopState, _dual_step,
+    _contain_nonfinite,
 )
 from colaborativempc_tpu.runtime.simulate import _per_agent_limits
 
@@ -85,10 +86,12 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
             sol: NLSolution = jax.vmap(per_scenario)(
                 state.x0, st.x_pred, st.u_pred, state.u_old,
                 st.lambdas, st.w, st.y, st.rho_scale, all_xy)
+            x_new, u_new, w_new, y_new, rs_new, feas = _contain_nonfinite(
+                st, sol)
 
             # gather the new plans; replicate the dual ascent on each shard
             new_xy = jax.lax.all_gather(
-                sol.x_pred[:, :, 1:, 7:9], agent_axis, axis=1, tiled=True)
+                x_new[:, :, 1:, 7:9], agent_axis, axis=1, tiled=True)
             diff = new_xy[:, :, None] - new_xy[:, None, :]
             dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-9)
             g = jnp.max(jnp.asarray(cfg.limits.min_dist)) - dist
@@ -96,30 +99,37 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
                 g = 0.5 * g
             upper = (ids[:, None] < ids[None, :]).astype(
                 g.dtype)[None, :, :, None]
-            lambdas = st.lambdas + ocd.alpha * g * upper
+            g = g * upper
+            lambdas, alpha = _dual_step(ocd, st, g)
             # every agent shard computed the same update from the gathered
             # plans; pmean makes the replication explicit for the carry type
             lambdas = jax.lax.pmean(lambdas, agent_axis)
+            alpha = jax.lax.pmean(alpha, agent_axis)
+            g = jax.lax.pmean(g, agent_axis)
 
             # convergence: max over scenarios AND agents (pmax over mesh)
-            delta = jnp.max(jnp.abs(st.x_pred - sol.x_pred))
+            delta = jnp.max(jnp.abs(st.x_pred - x_new))
             delta = jax.lax.pmax(jax.lax.pmax(delta, agent_axis), scen_axis)
             conv = delta < ocd.atol
             conv_count = jnp.where(conv, st.conv_count + 1, 0)
             finished = ((conv_count > ocd.it_conv)
                         | (st.it_ocd >= ocd.max_it_ocd))
             return _OCDLoopState(
-                x_pred=sol.x_pred, u_pred=sol.u_pred, x_old=st.x_pred,
-                lambdas=lambdas, w=sol.w, y=sol.y, rho_scale=sol.rho_scale,
+                x_pred=x_new, u_pred=u_new, x_old=st.x_pred,
+                lambdas=lambdas, alpha=alpha, g_prev=g,
+                w=w_new, y=y_new, rho_scale=rs_new,
                 it_ocd=st.it_ocd + 1, conv_count=conv_count,
-                finished=finished, feasible=sol.feasible)
+                finished=finished, feasible=feas)
 
         # feasible is per-(scenario, agent) and varying; tie its init to the
         # data so the while_loop carry types match
         feas0 = jnp.sum(state.x0 * 0.0, axis=-1) == 0.0
         loop0 = _OCDLoopState(
             x_pred=state.x_pred, u_pred=state.u_pred, x_old=state.x_pred,
-            lambdas=state.lambdas, w=state.w, y=state.y,
+            lambdas=state.lambdas,
+            alpha=jnp.full_like(state.lambdas, ocd.alpha),
+            g_prev=jnp.zeros_like(state.lambdas),
+            w=state.w, y=state.y,
             rho_scale=state.rho_scale,
             it_ocd=jnp.asarray(0), conv_count=jnp.asarray(0),
             finished=jnp.asarray(False),

@@ -47,6 +47,8 @@ class _OCDLoopState(NamedTuple):
     u_pred: jnp.ndarray
     x_old: jnp.ndarray
     lambdas: jnp.ndarray
+    alpha: jnp.ndarray    # per-(pair, stage) dual step (adaptive_alpha)
+    g_prev: jnp.ndarray   # previous residual dth - dist (sign memory)
     w: jnp.ndarray
     y: jnp.ndarray
     rho_scale: jnp.ndarray
@@ -56,12 +58,67 @@ class _OCDLoopState(NamedTuple):
     feasible: jnp.ndarray
 
 
+def _dual_step(ocd, st: _OCDLoopState, g: jnp.ndarray):
+    """One dual-ascent step on the coupling prices.
+
+    Fixed step (reference ``lambdas += alpha*cost``, NL_EU_N_main.py:138-139)
+    or, when ``ocd.adaptive_alpha``, an RPROP-style per-element step: grow
+    while the residual g = dth - dist keeps its sign between iterations
+    (price ramping too slowly), shrink when it flips (overshoot). The first
+    iteration has g_prev = 0, so the step starts at the configured alpha.
+
+    The update is projected onto [ocd.lambda_lo, inf) — see the OCDConfig
+    docstring for why the reference's unprojected duals diverge.
+    """
+    if not ocd.adaptive_alpha:
+        lam = st.lambdas + ocd.alpha * g
+        alpha = st.alpha
+    else:
+        corr = g * st.g_prev
+        mult = jnp.where(corr > 0, ocd.alpha_grow,
+                         jnp.where(corr < 0, ocd.alpha_shrink, 1.0))
+        alpha = jnp.clip(st.alpha * mult,
+                         ocd.alpha / ocd.alpha_span,
+                         ocd.alpha * ocd.alpha_span)
+        lam = st.lambdas + alpha * g
+    if ocd.lambda_lo is not None and ocd.lambda_lo > -jnp.inf:
+        lam = jnp.maximum(lam, jnp.asarray(ocd.lambda_lo, lam.dtype))
+    return lam, alpha
+
+
 class OCDStepMetrics(NamedTuple):
     ocd_iterations: jnp.ndarray  # scalar: inner iterations this step
     feasible: jnp.ndarray        # (n_ag,)
     min_dist: jnp.ndarray        # min predicted pairwise distance
     min_dist_exec: jnp.ndarray   # min executed pairwise distance
     lambda_max: jnp.ndarray      # max |lambda|
+
+
+def _contain_nonfinite(st: _OCDLoopState, sol):
+    """Per-agent containment of non-finite sub-problem solutions.
+
+    An agent whose SQP/ADMM solve produced inf/NaN (extreme jam states can
+    overflow the float32 Riccati recursion) keeps its previous prediction,
+    has its ADMM warm-start state reset, and is flagged infeasible — the
+    OCD loop and the outer experiment then apply the reference's
+    degraded-solution semantics (continue while ANY agent is usable,
+    NL_EU_N_main.py:113-115) instead of poisoning the whole fleet state.
+
+    Works for both the single-fleet path (leading axis = agent) and the
+    sharded path (leading axes = scenario, agent).
+    """
+    ok = (jnp.all(jnp.isfinite(sol.x_pred), axis=(-1, -2))
+          & jnp.all(jnp.isfinite(sol.u_pred), axis=(-1, -2)))
+
+    def keep(new, old):
+        shape = ok.shape + (1,) * (new.ndim - ok.ndim)
+        return jnp.where(ok.reshape(shape), new, old)
+
+    return (keep(sol.x_pred, st.x_pred), keep(sol.u_pred, st.u_pred),
+            keep(sol.w, jnp.zeros_like(sol.w)),
+            keep(sol.y, jnp.zeros_like(sol.y)),
+            keep(sol.rho_scale, jnp.ones_like(sol.rho_scale)),
+            sol.feasible & ok)
 
 
 def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
@@ -106,12 +163,13 @@ def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
         sol: NLSolution = jax.vmap(one_agent)(
             limits_pa, x0, st.x_pred, st.u_pred, u_old, lam, neigh,
             master_mask, st.w, st.y, st.rho_scale)
+        x_new, u_new, w_new, y_new, rs_new, feas = _contain_nonfinite(st, sol)
 
         # dual ascent on master pairs i < j (NL_EU_N_main.py:130-139):
         # "eu": lambda += alpha * (dth - ||p_i - p_j||)
         # "hp": lambda += alpha * (dth - dist)/2 - evaluating the reference's
         #       eval_constraintHp on the geometric bisector (NL/config.py:25-29)
-        p = sol.x_pred[:, 1:, 7:9]                            # (n_ag, N, 2)
+        p = x_new[:, 1:, 7:9]                                 # (n_ag, N, 2)
         diff = p[:, None, :, :] - p[None, :, :, :]            # (i, j, N, 2)
         dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-9)
         dth = jnp.max(jnp.asarray(cfg.limits.min_dist))
@@ -119,23 +177,28 @@ def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
         if cfg.coupling == "hp":
             g = 0.5 * g
         upper = (ids[:, None] < ids[None, :]).astype(g.dtype)[:, :, None]
-        lambdas = st.lambdas + ocd.alpha * g * upper
+        g = g * upper
+        lambdas, alpha = _dual_step(ocd, st, g)
 
         # convergence test (NL_EU_N_main.py:141-157)
-        conv = jnp.all(jnp.abs(st.x_pred - sol.x_pred) < ocd.atol)
+        conv = jnp.all(jnp.abs(st.x_pred - x_new) < ocd.atol)
         conv_count = jnp.where(conv, st.conv_count + 1, 0)
         finished = (conv_count > ocd.it_conv) | (st.it_ocd >= ocd.max_it_ocd)
 
         return _OCDLoopState(
-            x_pred=sol.x_pred, u_pred=sol.u_pred, x_old=st.x_pred,
-            lambdas=lambdas, w=sol.w, y=sol.y, rho_scale=sol.rho_scale,
+            x_pred=x_new, u_pred=u_new, x_old=st.x_pred,
+            lambdas=lambdas, alpha=alpha, g_prev=g,
+            w=w_new, y=y_new, rho_scale=rs_new,
             it_ocd=st.it_ocd + 1, conv_count=conv_count,
-            finished=finished, feasible=sol.feasible)
+            finished=finished, feasible=feas)
 
     def step(state: OCDFleetState):
         loop0 = _OCDLoopState(
             x_pred=state.x_pred, u_pred=state.u_pred, x_old=state.x_pred,
-            lambdas=state.lambdas, w=state.w, y=state.y,
+            lambdas=state.lambdas,
+            alpha=jnp.full_like(state.lambdas, ocd.alpha),
+            g_prev=jnp.zeros_like(state.lambdas),
+            w=state.w, y=state.y,
             rho_scale=state.rho_scale,
             it_ocd=jnp.asarray(0), conv_count=jnp.asarray(0),
             finished=jnp.asarray(False),

@@ -11,12 +11,20 @@ parity is measured on behaviour, not samplewise states:
   - progress rate (ds/dt) and completion
   - minimum executed inter-agent distance
 
+The run configuration (N, dt, gains, min_dist, OCD knobs) is parsed from the
+golden run's own ``settings.csv`` (the reference's ``save_config`` output,
+``experiment_utilities.py``), so every recorded experiment replays under its
+own recorded hyperparameters:
+
+    python scripts/compare_reference.py --ref NL_3agents_mh [--cpu]
     python scripts/compare_reference.py --ref \
-        /root/reference/planner/scripts/data/experiments_paper/LPV3r_agent_laptop \
-        [--cpu] [--steps 200] [--N 125]
+        /root/.../experiments_paper/LPV3r_agent_laptop [--steps 150]
+
+Flags override anything parsed.
 """
 
 import argparse
+import csv
 import os
 import sys
 
@@ -25,6 +33,38 @@ from _common import setup_backend  # noqa: E402
 setup_backend()
 
 import numpy as np
+
+GOLDEN_ROOT = "/root/reference/planner/scripts/data/experiments_paper"
+
+
+def parse_matrix(text):
+    """Parse a numpy-printed matrix string ('[[1.0 2.0]\n [3.0 4.0]]')."""
+    rows = [r for r in text.replace("[", " ").replace("]", " ").split("\n")
+            if r.strip()]
+    return np.asarray([[float(v) for v in r.split()] for r in rows])
+
+
+def load_settings(path):
+    """Parse the reference's settings.csv into a plain dict."""
+    out = {}
+    fn = os.path.join(path, "settings.csv")
+    if not os.path.exists(fn):
+        return out
+    with open(fn) as fh:
+        for row in csv.reader(fh):
+            if len(row) < 2:
+                continue
+            k, v = row[0], ",".join(row[1:])
+            if k in ("Q", "Qs", "R", "dR"):
+                out[k] = parse_matrix(v)
+            elif k in ("n_agents", "max_it", "N", "it_conv", "max_it_OCD",
+                       "min_it_OCD"):
+                out[k] = int(v)
+            elif k in ("dt", "vx_ref", "min_dist", "wq"):
+                out[k] = float(v)
+            elif k == "map_type":
+                out[k] = v
+    return out
 
 
 def load_reference(path, n_agents=3):
@@ -55,46 +95,86 @@ def stats(states, dt, label):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ref", default="/root/reference/planner/scripts/data/"
-                    "experiments_paper/LPV3r_agent_laptop")
-    ap.add_argument("--planner", choices=["lpv", "nl"], default="lpv")
+    ap.add_argument("--ref", default="LPV3r_agent_laptop",
+                    help="golden run directory (absolute path or a name "
+                    f"under {GOLDEN_ROOT})")
+    ap.add_argument("--planner", choices=["lpv", "nl"], default=None,
+                    help="default: nl for NL_* runs, lpv otherwise")
     ap.add_argument("--steps", type=int, default=200)
-    ap.add_argument("--N", type=int, default=125)
-    ap.add_argument("--dt", type=float, default=0.025)
+    ap.add_argument("--N", type=int, default=None)
+    ap.add_argument("--dt", type=float, default=None)
+    ap.add_argument("--max-ocd", type=int, default=30,
+                    help="OCD iteration cap (divergence guard; the "
+                    "reference's recorded runs average ~4)")
     ap.add_argument("--short", type=int, default=40,
                     help="short-horizon deviation window")
     args = ap.parse_args()
 
+    ref_path = (args.ref if os.path.isabs(args.ref)
+                else os.path.join(GOLDEN_ROOT, args.ref))
+    name = os.path.basename(ref_path.rstrip("/"))
+    settings = load_settings(ref_path)
+    planner = args.planner or ("nl" if name.startswith("NL") else "lpv")
+
     from colaborativempc_tpu.config import (
-        ExperimentConfig, lpv_gains, nl_gains, SolverConfig, OCDConfig,
+        ExperimentConfig, SysLimits, lpv_gains, nl_gains, Gains,
+        SolverConfig, OCDConfig,
     )
     from colaborativempc_tpu.runtime import (
         run_lpv_experiment, run_nl_experiment,
     )
 
-    ref = load_reference(args.ref)
+    if "Q" in settings:
+        import jax.numpy as jnp
+        gains = Gains(
+            q=jnp.asarray(np.diag(settings["Q"]), jnp.float32),
+            qs=jnp.asarray(np.diag(settings["Qs"]), jnp.float32),
+            r=jnp.asarray(np.diag(settings["R"]), jnp.float32),
+            dr=jnp.asarray(np.diag(settings["dR"]), jnp.float32),
+            wq=settings.get("wq", 5.0))
+    else:
+        gains = nl_gains() if planner == "nl" else lpv_gains()
+
+    N = args.N or settings.get("N", 125 if planner == "lpv" else 20)
+    dt = args.dt or settings.get("dt", 0.025)
+    limits = SysLimits(vx_ref=settings.get("vx_ref", 3.0),
+                       min_dist=settings.get("min_dist", 0.25))
+    print(f"golden run {name}: planner={planner} N={N} dt={dt} "
+          f"q={np.asarray(gains.q)[[0, 3, 4]]} "
+          f"r={np.asarray(gains.r)} dr={np.asarray(gains.dr)}")
+
+    ref = load_reference(ref_path, settings.get("n_agents", 3))
     T = min(args.steps, len(ref))
 
-    if args.planner == "lpv":
+    if planner == "lpv":
         cfg = ExperimentConfig(
-            n_agents=3, N=args.N, dt=args.dt, max_it=T, map_type="Highway",
-            gains=lpv_gains(), solver=SolverConfig(admm_iters=1000))
+            n_agents=ref.shape[1], N=N, dt=dt, max_it=T,
+            map_type=settings.get("map_type", "Highway"),
+            limits=limits, gains=gains,
+            solver=SolverConfig(admm_iters=1000))
         res = run_lpv_experiment(cfg)
     else:
         cfg = ExperimentConfig(
-            n_agents=3, N=args.N, dt=args.dt, max_it=T, map_type="Highway",
-            gains=nl_gains(), ocd=OCDConfig(max_it_ocd=30),
+            n_agents=ref.shape[1], N=N, dt=dt, max_it=T,
+            map_type=settings.get("map_type", "Highway"),
+            limits=limits, gains=gains,
+            ocd=OCDConfig(max_it_ocd=args.max_ocd,
+                          it_conv=settings.get("it_conv", 2),
+                          min_it_ocd=settings.get("min_it_OCD", 2)),
             solver=SolverConfig(admm_iters=300, sqp_iters=2))
         res = run_nl_experiment(cfg)
-        print(f"OCD iterations: mean {res.ocd_iterations.mean():.2f} "
-              f"(reference NL_3agents_def OCD_it.dat mean: 4.00)")
+        print(f"OCD iterations: mean {res.ocd_iterations.mean():.2f}")
+        ocd_dat = os.path.join(ref_path, "csv", "0", "OCD_it.dat")
+        if os.path.exists(ocd_dat):
+            print(f"  (reference {name} OCD_it.dat mean: "
+                  f"{np.loadtxt(ocd_dat).mean():.2f})")
     ours = res.states
 
     Tc = min(len(ours), T)
     print(f"comparing {Tc} control steps "
           f"(ref run has {len(ref)}, ours {len(ours)})")
-    r = stats(ref[:Tc], args.dt, "reference")
-    o = stats(ours[:Tc], args.dt, "ours")
+    r = stats(ref[:Tc], dt, "reference")
+    o = stats(ours[:Tc], dt, "ours")
 
     K = min(args.short, Tc)
     dev = np.abs(ours[:K] - ref[:K])

@@ -143,6 +143,63 @@ def test_rti_mode():
     assert (res.states[-1, :, 6] > 0.3).all()
 
 
+def test_dual_projection():
+    """Coupling prices are projected onto [lambda_lo, inf).
+
+    The reference's unprojected duals drift unboundedly negative while
+    agents run separated (lambdas += alpha*(dth - dist) with dist > dth,
+    NL_EU_N_main.py:138-139) — a negative price is an ATTRACTION that was
+    observed to jam and numerically diverge the NL_3agents_mh course. The
+    default lambda_lo=0 is the textbook projected dual ascent."""
+    cfg = nl_cfg(max_it=25)
+    res = run_nl_experiment(cfg)
+    assert res.lambdas.min() >= 0.0
+    # raw reference semantics on request
+    cfg_raw = nl_cfg(max_it=5, ocd=OCDConfig(max_it_ocd=30,
+                                             lambda_lo=-np.inf))
+    res_raw = run_nl_experiment(cfg_raw)
+    assert res_raw.feasible.all()
+
+
+def test_nonfinite_containment():
+    """An agent whose sub-problem solve goes non-finite keeps its previous
+    prediction and is flagged infeasible instead of poisoning the fleet."""
+    from colaborativempc_tpu.runtime.ocd import _contain_nonfinite
+    from colaborativempc_tpu.planners.nl import NLSolution
+
+    n_ag, N = 3, 10
+    x_prev = jnp.ones((n_ag, N + 1, 9))
+    u_prev = jnp.ones((n_ag, N, 2))
+
+    class St:  # only the fields _contain_nonfinite touches
+        x_pred = x_prev
+        u_pred = u_prev
+
+    x_new = x_prev * 2.0
+    x_new = x_new.at[1].set(jnp.nan)
+    sol = NLSolution(
+        x_pred=x_new, u_pred=u_prev * 2.0, du_pred=None, s_pred=None,
+        feasible=jnp.ones((n_ag,), bool),
+        w=jnp.zeros((n_ag, N, 6)), y=jnp.zeros((n_ag, N, 6)),
+        rho_scale=jnp.full((n_ag,), 7.0),
+        iterations=None, r_prim=None)
+    xp, up, w, y, rs, feas = _contain_nonfinite(St, sol)
+    assert bool(jnp.all(jnp.isfinite(xp)))
+    np.testing.assert_allclose(np.asarray(xp[1]), np.asarray(x_prev[1]))
+    np.testing.assert_allclose(np.asarray(xp[0]), np.asarray(x_new[0]))
+    assert not bool(feas[1]) and bool(feas[0]) and bool(feas[2])
+    assert float(rs[1]) == 1.0 and float(rs[0]) == 7.0
+
+
+def test_adaptive_alpha_runs():
+    """RPROP-style adaptive dual step (opt-in) stays feasible and separated."""
+    cfg = nl_cfg(max_it=20, ocd=OCDConfig(max_it_ocd=30, adaptive_alpha=True))
+    res = run_nl_experiment(cfg)
+    assert res.steps == 20
+    assert res.feasible.all()
+    assert res.min_dist_exec.min() > 0.2
+
+
 def test_single_agent_nl():
     """n_agents=1 NL experiment (regression: the warm-start row count must
     match the QP's placeholder-neighbour row)."""
