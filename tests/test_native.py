@@ -102,6 +102,27 @@ def test_native_sim_binary(tmp_path):
     assert "solve time" in out.stdout
 
 
+def test_native_sim_binary_nl_ocd(tmp_path):
+    """The sim binary's "nl" mode drives the full OCD dual-coordination
+    loop on the nonlinear SQP planners (native twin of runtime/ocd.py;
+    reference NL_EU_N_main.py closed loop)."""
+    track = make_track("Highway")
+    csv = str(tmp_path / "highway.csv")
+    native.export_track_csv(track, csv)
+    binary = native.build().replace("libcmpc.so", "cmpc_sim")
+    out = subprocess.run([binary, csv, "3", "15", "25", "0.02", "400", "nl"],
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "feasible=1" in out.stdout
+    assert "mean_ocd_it=" in out.stdout
+    # separation must be held at the end of the run
+    dist = float(out.stdout.split("final_min_dist=")[1].split()[0])
+    assert dist > 0.2, out.stdout
+    # coordination depth in the reference's regime (OCD_it mean ~4-7)
+    ocd = float(out.stdout.split("mean_ocd_it=")[1].split()[0])
+    assert ocd < 15, out.stdout
+
+
 def test_native_nl_matches_jax():
     """Native NL-SQP sub-problem vs the JAX path on identical inputs
     (Euclidean coupling, mixed master/slave roles)."""
