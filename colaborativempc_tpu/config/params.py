@@ -143,6 +143,11 @@ class ExperimentConfig:
     save_data: bool = False
     plot: int = 0
     verb: int = 0
+    # per-OCD-iteration observability (reference settings verb_OCD): the
+    # coordination loop runs host-driven with one device dispatch per
+    # iteration, yielding true per-iteration wall times (time_OCD.dat rows)
+    # and verbose convergence prints — slower, diagnostics only
+    verb_ocd: bool = False
     path: str = "data/experiment"
     laps: int = 1
     dtype: str = "float32"

@@ -4,7 +4,8 @@ from colaborativempc_tpu.runtime.simulate import (
 )
 from colaborativempc_tpu.runtime.ocd import (
     OCDFleetState, OCDStepMetrics, NLExperimentResult,
-    make_nl_ocd_step, init_nl_fleet, run_nl_experiment,
+    make_nl_ocd_step, make_nl_ocd_instrumented, init_nl_fleet,
+    run_nl_experiment,
 )
 from colaborativempc_tpu.runtime.io import (
     ExperimentIO, load_lambdas, load_experiment,

@@ -50,6 +50,9 @@ class ExperimentIO:
         self.u_pred_hist = [[] for _ in range(cfg.n_agents)]
         self.step_times = []
         self.ocd_iters = []
+        # true per-iteration OCD device times (filled when the experiment
+        # runs with cfg.verb_ocd — the instrumented host-driven loop)
+        self.ocd_iter_times = []
         self._t0 = time.time()
 
     # ---- io_class-compatible hooks --------------------------------------
@@ -112,16 +115,23 @@ class ExperimentIO:
                 np.savetxt(os.path.join(d, "OCD_it.dat"),
                            np.asarray(self.ocd_iters), fmt="%.5e",
                            delimiter=" ")
-                # per-iteration time table (base_class.py time_OCD):
-                # the whole OCD loop is one device dispatch here, so the
-                # per-iteration rows are the per-step mean
-                its = np.asarray(self.ocd_iters)
-                times = np.asarray(self.step_times)[: len(its)]
-                lim = max(int(its.max()), 1)
-                tab = np.zeros((len(its), lim))
-                for i, (n_it, t) in enumerate(zip(its, times)):
-                    n_it = max(int(n_it), 1)
-                    tab[i, :n_it] = t / n_it
+                # per-iteration time table (base_class.py time_OCD)
+                if self.ocd_iter_times:
+                    # true per-iteration rows (instrumented verb_ocd runs)
+                    lim = max(len(r) for r in self.ocd_iter_times)
+                    tab = np.zeros((len(self.ocd_iter_times), lim))
+                    for i, row in enumerate(self.ocd_iter_times):
+                        tab[i, :len(row)] = row
+                else:
+                    # the whole OCD loop is one device dispatch on the fast
+                    # path, so per-iteration rows are the per-step mean
+                    its = np.asarray(self.ocd_iters)
+                    times = np.asarray(self.step_times)[: len(its)]
+                    lim = max(int(its.max()), 1)
+                    tab = np.zeros((len(its), lim))
+                    for i, (n_it, t) in enumerate(zip(its, times)):
+                        n_it = max(int(n_it), 1)
+                        tab[i, :n_it] = t / n_it
                 np.savetxt(os.path.join(d, "time_OCD.dat"), tab,
                            fmt="%.5e", delimiter=" ")
 

@@ -121,8 +121,17 @@ def _contain_nonfinite(st: _OCDLoopState, sol):
             sol.feasible & ok)
 
 
-def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
-    """Build the jitted one-control-step function: a full OCD inner loop."""
+def _build_ocd_core(track: Track, cfg: ExperimentConfig):
+    """Shared OCD machinery: one coordination iteration, the loop carry
+    initialiser, the loop condition, and the control-step finaliser.
+
+    ``make_nl_ocd_step`` composes these under one ``lax.while_loop`` (one
+    device dispatch per control step — the fast path);
+    ``make_nl_ocd_instrumented`` jits the pieces separately so a host loop
+    can time and inspect every coordination iteration (the reference's
+    ``verb_OCD`` console tier and per-iteration ``time_OCD.dat`` rows,
+    ``IOmodule.updateOCD`` / ``base_class.py`` time_OCD).
+    """
     from colaborativempc_tpu.runtime.simulate import _per_agent_limits
     gains = cfg.gains if cfg.gains is not None else nl_gains()
     n_ag = cfg.n_agents
@@ -192,8 +201,8 @@ def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
             it_ocd=st.it_ocd + 1, conv_count=conv_count,
             finished=finished, feasible=feas)
 
-    def step(state: OCDFleetState):
-        loop0 = _OCDLoopState(
+    def loop_init(state: OCDFleetState) -> _OCDLoopState:
+        return _OCDLoopState(
             x_pred=state.x_pred, u_pred=state.u_pred, x_old=state.x_pred,
             lambdas=state.lambdas,
             alpha=jnp.full_like(state.lambdas, ocd.alpha),
@@ -204,13 +213,11 @@ def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
             finished=jnp.asarray(False),
             feasible=jnp.ones((n_ag,), bool))
 
-        def cond(st):
-            # force min_it_ocd, run until finished (NL_EU_N_main.py:105)
-            return ~((st.it_ocd > ocd.min_it_ocd) & st.finished)
+    def cond(st):
+        # force min_it_ocd, run until finished (NL_EU_N_main.py:105)
+        return ~((st.it_ocd > ocd.min_it_ocd) & st.finished)
 
-        out = jax.lax.while_loop(
-            cond, lambda st: ocd_iteration(st, state.x0, state.u_old), loop0)
-
+    def finalize(out: _OCDLoopState):
         # control-step shift (NL_EU_N_main.py:170-172): x0 <- x_pred[1],
         # linearisation trajectory <- shifted prediction
         x_shift = jnp.concatenate(
@@ -239,7 +246,63 @@ def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
             lambda_max=jnp.max(jnp.abs(out.lambdas)))
         return new_state, metrics
 
+    return ocd_iteration, loop_init, cond, finalize
+
+
+def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
+    """Build the jitted one-control-step function: a full OCD inner loop."""
+    ocd_iteration, loop_init, cond, finalize = _build_ocd_core(track, cfg)
+
+    def step(state: OCDFleetState):
+        out = jax.lax.while_loop(
+            cond, lambda st: ocd_iteration(st, state.x0, state.u_old),
+            loop_init(state))
+        return finalize(out)
+
     return jax.jit(step)
+
+
+def make_nl_ocd_instrumented(track: Track, cfg: ExperimentConfig):
+    """Host-driven OCD control step with true per-iteration device timing.
+
+    The fast path (``make_nl_ocd_step``) runs the whole coordination loop
+    as ONE device dispatch, so per-iteration wall times do not exist on the
+    host. This variant jits one coordination ITERATION and loops on the
+    host — slower per step (one dispatch per iteration) but it yields what
+    the reference's verbose tier reports (``verb_OCD`` prints +
+    ``IOmodule.updateOCD``) and real per-iteration rows for time_OCD.dat
+    (``base_class.py:64-99``).
+
+    Returns ``step(state, on_iteration=None) -> (new_state, metrics,
+    iter_times)`` where ``on_iteration(it_ocd, seconds, delta)`` is called
+    after every coordination iteration with its device wall time and the
+    max trajectory change.
+    """
+    ocd_iteration, loop_init, cond, finalize = _build_ocd_core(track, cfg)
+    it_jit = jax.jit(ocd_iteration)
+    init_jit = jax.jit(loop_init)
+    fin_jit = jax.jit(finalize)
+
+    ocd = cfg.ocd
+
+    def step(state: OCDFleetState, on_iteration=None):
+        st = jax.block_until_ready(init_jit(state))
+        iter_times = []
+        # the loop condition is evaluated on the HOST (eager per-op dispatch
+        # over a tunnelled TPU costs seconds; two scalar fetches do not)
+        while not (int(st.it_ocd) > ocd.min_it_ocd and bool(st.finished)):
+            t0 = time.time()
+            st = jax.block_until_ready(it_jit(st, state.x0, state.u_old))
+            dt_it = time.time() - t0
+            iter_times.append(dt_it)
+            if on_iteration is not None:
+                delta = float(np.abs(np.asarray(st.x_pred)
+                                     - np.asarray(st.x_old)).max())
+                on_iteration(int(st.it_ocd), dt_it, delta)
+        new_state, metrics = fin_jit(st)
+        return new_state, metrics, iter_times
+
+    return step
 
 
 def init_nl_fleet(track: Track, cfg: ExperimentConfig,
@@ -291,7 +354,10 @@ def run_nl_experiment(cfg: ExperimentConfig,
     if track is None:
         track = make_track(cfg.map_type)
     state = init_nl_fleet(track, cfg, x0s, lambdas0)
-    step = make_nl_ocd_step(track, cfg)
+    if cfg.verb_ocd:
+        step_inst = make_nl_ocd_instrumented(track, cfg)
+    else:
+        step = make_nl_ocd_step(track, cfg)
 
     hist = {k: [] for k in ("states", "inputs", "feas", "dist", "dist_e",
                             "ocd_it", "times")}
@@ -299,7 +365,16 @@ def run_nl_experiment(cfg: ExperimentConfig,
     it = 0
     while it < cfg.max_it:
         t0 = time.time()
-        state, metrics = step(state)
+        if cfg.verb_ocd:
+            def on_it(it_ocd, secs, delta, _step=it):
+                if cfg.verb >= 2:
+                    print(f"  [step {_step} OCD {it_ocd}] "
+                          f"{secs * 1e3:.1f}ms dx_max={delta:.4f}")
+            state, metrics, iter_times = step_inst(state, on_it)
+            if io is not None and hasattr(io, "ocd_iter_times"):
+                io.ocd_iter_times.append(iter_times)
+        else:
+            state, metrics = step(state)
         state = jax.block_until_ready(state)
         hist["times"].append(time.time() - t0)
         hist["states"].append(np.asarray(state.x0))

@@ -200,6 +200,35 @@ def test_adaptive_alpha_runs():
     assert res.min_dist_exec.min() > 0.2
 
 
+def test_instrumented_ocd_matches_fast_path():
+    """verb_ocd runs the coordination loop host-driven (one dispatch per
+    iteration, true per-iteration times — the reference's verb_OCD tier);
+    it must reproduce the fast single-dispatch path's behaviour."""
+    from colaborativempc_tpu.runtime.io import ExperimentIO
+
+    cfg = nl_cfg(max_it=6)
+    res_fast = run_nl_experiment(cfg)
+    cfg_i = nl_cfg(max_it=6, verb_ocd=True)
+    io = ExperimentIO(cfg_i, path="/tmp/cmpc_instr_test")
+    res_inst = run_nl_experiment(cfg_i, io=io)
+
+    assert res_inst.steps == res_fast.steps
+    assert res_inst.feasible.all()
+    np.testing.assert_array_equal(res_inst.ocd_iterations,
+                                  res_fast.ocd_iterations)
+    # same jitted iteration program => same trajectory (tolerance for
+    # fusion differences between the standalone and while_loop compiles)
+    np.testing.assert_allclose(res_inst.states, res_fast.states, atol=1e-4)
+    # true per-iteration rows recorded, one list per control step
+    assert len(io.ocd_iter_times) == res_inst.steps
+    assert all(len(r) == n for r, n in
+               zip(io.ocd_iter_times, res_inst.ocd_iterations))
+    io.save_to_csv()
+    import os
+    tab = np.loadtxt(os.path.join(io.path, "csv", "0", "time_OCD.dat"))
+    assert tab.shape[0] == res_inst.steps
+
+
 def test_single_agent_nl():
     """n_agents=1 NL experiment (regression: the warm-start row count must
     match the QP's placeholder-neighbour row)."""
