@@ -37,6 +37,15 @@ position constraints one Euler step ahead) pressed by stiff penalties: with
 fixed rho the scaled dual needs O(sigma/rho) iterations to ramp; adaptive
 rho closes the gap geometrically. Within an epoch the factorisation is
 reused, keeping OSQP's factor-once/iterate-cheap economics.
+
+The adaptive scale is PER ROW CLASS (one multiplier per constraint row m,
+shared across stages — matching OSQP's per-constraint rho vector): stiff
+soft rows (hyperplane/distance penalties) and plain box rows (inputs) need
+rho values orders of magnitude apart; a single scalar compromise was
+measured to leave a few-percent tail of warm long-horizon solves
+(N=125 fleet steps) above tolerance at a 600-iteration budget. The
+warm-startable ``rho_scale`` is therefore shape (m,); scalar inputs
+broadcast.
 """
 
 from __future__ import annotations
@@ -77,7 +86,7 @@ class ADMMSolution(NamedTuple):
     c: jnp.ndarray
     w: jnp.ndarray
     y: jnp.ndarray
-    rho_scale: jnp.ndarray  # final adaptive-rho multiplier (warm-startable)
+    rho_scale: jnp.ndarray  # (m,) per-row-class rho multipliers (warm-startable)
     iterations: jnp.ndarray
     r_prim: jnp.ndarray
     r_dual: jnp.ndarray
@@ -164,7 +173,7 @@ def admm_solve(qp: StageQP, z0: jnp.ndarray,
     n_epochs = max(1, iters // epoch_len)
 
     def epoch(state: _EpochState) -> _EpochState:
-        rv = base_rv * state.rho_scale
+        rv = base_rv * state.rho_scale[None, :]
         aug_cost = build_admm_cost(qp, rv)
         fac = lqr_factorize(qp.dyn, aug_cost, reg)
 
@@ -193,31 +202,38 @@ def admm_solve(qp: StageQP, z0: jnp.ndarray,
             vhat = alpha * v + (1.0 - alpha) * w_prev
             w = prox(vhat + y_prev)
             y = y_prev + vhat - w
-            r_p = jnp.max(jnp.abs(mask * (v - w)))
-            r_d = jnp.max(jnp.abs(mask * (w - w_prev)))
+            # residuals per ROW CLASS (max over stages): each class drives
+            # its own rho multiplier
+            r_p = jnp.max(jnp.abs(mask * (v - w)), axis=0)
+            r_d = jnp.max(jnp.abs(mask * (w - w_prev)), axis=0)
             return (w, y, r_p, r_d), (z, c)
 
-        # derive the scalar carry init from data so its varying-axes type
+        # derive the residual carry init from data so its varying-axes type
         # matches the loop outputs under shard_map (scan-vma typing)
-        zero = jnp.sum(state.w) * 0.0
+        zerov = jnp.sum(state.w, axis=0) * 0.0          # (m,)
         (w, y, r_prim, r_dual), zc = jax.lax.scan(
-            iteration, (state.w, state.y, zero, zero), None,
+            iteration, (state.w, state.y, zerov, zerov), None,
             length=epoch_len)
         z = zc[0][-1]
         c = zc[1][-1]
 
-        # OSQP-style rescale, bounded; rescale the scaled dual accordingly
+        # OSQP-style per-class rescale, bounded; rescale the scaled dual
+        # accordingly. Classes already inside tolerance keep their rho
+        # (rebalancing a converged class would only perturb it).
         ratio = jnp.sqrt(r_prim / jnp.maximum(r_dual, 1e-12))
         ratio = jnp.clip(ratio, 0.2, 10.0)
         new_scale = jnp.clip(state.rho_scale * ratio, 1e-3, max_rho_scale)
-        y = y * (state.rho_scale / new_scale)
+        quiet = (r_prim < eps) & (r_dual < eps)
+        new_scale = jnp.where(quiet, state.rho_scale, new_scale)
+        y = y * (state.rho_scale / new_scale)[None, :]
 
         return _EpochState(z=z, c=c, w=w, y=y, rho_scale=new_scale,
                            it=state.it + epoch_len,
                            r_prim=r_prim, r_dual=r_dual)
 
     def cond(state: _EpochState):
-        not_conv = (state.r_prim > eps) | (state.r_dual > eps)
+        not_conv = ((jnp.max(state.r_prim) > eps)
+                    | (jnp.max(state.r_dual) > eps))
         return (state.it < n_epochs * epoch_len) & not_conv
 
     nz = qp.dyn.F.shape[-1]
@@ -225,20 +241,22 @@ def admm_solve(qp: StageQP, z0: jnp.ndarray,
     # tie the inits to the data so their varying-axes types match the loop
     # outputs under shard_map
     tie = jnp.sum(w0) * 0.0 + jnp.sum(z0) * 0.0
-    big = jnp.asarray(jnp.inf, dtype) + tie
+    big = jnp.full((m,), jnp.inf, dtype) + tie
     init = _EpochState(
         z=jnp.zeros((N + 1, nz), dtype) + tie,
         c=jnp.zeros((N, nc), dtype) + tie,
         w=w0, y=y0,
-        rho_scale=jnp.asarray(rho_scale0, dtype) + tie,
+        rho_scale=(jnp.broadcast_to(jnp.asarray(rho_scale0, dtype), (m,))
+                   + tie),
         it=jnp.asarray(0), r_prim=big, r_dual=big)
 
     out = jax.lax.while_loop(cond, epoch, init)
+    r_prim = jnp.max(out.r_prim)
     return ADMMSolution(z=out.z, c=out.c, w=out.w, y=out.y,
                         rho_scale=out.rho_scale,
-                        iterations=out.it, r_prim=out.r_prim,
-                        r_dual=out.r_dual,
+                        iterations=out.it, r_prim=r_prim,
+                        r_dual=jnp.max(out.r_dual),
                         # tolerant acceptance mirroring the reference, which
                         # treats OSQP 'solved_inaccurate' and even
                         # 'max_iter_reached' as usable (LPV_Planner.py:241-249)
-                        feasible=out.r_prim < feas_tol)
+                        feasible=r_prim < feas_tol)

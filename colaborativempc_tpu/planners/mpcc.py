@@ -192,7 +192,7 @@ def mpcc_solve(track: Track, gains: MPCCGains, p: PacejkaParams,
     w0 = jnp.zeros((N, 7), dtype)
     y0 = jnp.zeros_like(w0)
     (x_fin, u_fin, _, _, _), sols = jax.lax.scan(
-        sqp_iter, (x_bar, u_bar, w0, y0, jnp.asarray(1.0, dtype)),
+        sqp_iter, (x_bar, u_bar, w0, y0, jnp.ones((7,), dtype)),
         None, length=sqp_iters)
     last = jax.tree.map(lambda a: a[-1], sols)
     return MPCCSolution(x_pred=x_fin, u_pred=u_fin,

@@ -277,7 +277,8 @@ def nl_solve(track: Track, gains: Gains, limits: SysLimits,
         w0 = jnp.zeros((N, 4 + n_nb), dtype)
     if y0 is None:
         y0 = jnp.zeros_like(w0)
-    rs0 = jnp.asarray(rho_scale0, dtype)
+    # per-row-class rho multipliers (scalar warm starts broadcast)
+    rs0 = jnp.broadcast_to(jnp.asarray(rho_scale0, dtype), (w0.shape[1],))
 
     (x_fin, u_fin, w, y, rs), (sols, viols) = jax.lax.scan(
         sqp_iter, (x_bar, u_bar, w0, y0, rs0), None, length=sqp_iters)

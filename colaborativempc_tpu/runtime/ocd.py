@@ -328,7 +328,7 @@ def init_nl_fleet(track: Track, cfg: ExperimentConfig,
         lambdas=lambdas0,
         w=jnp.zeros((cfg.n_agents, cfg.N, m), dtype),
         y=jnp.zeros((cfg.n_agents, cfg.N, m), dtype),
-        rho_scale=jnp.ones((cfg.n_agents,), dtype))
+        rho_scale=jnp.ones((cfg.n_agents, m), dtype))
 
 
 class NLExperimentResult(NamedTuple):

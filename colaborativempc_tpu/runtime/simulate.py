@@ -35,7 +35,7 @@ class FleetState(NamedTuple):
     u_old: jnp.ndarray    # (n_ag, 2) last applied inputs
     w: jnp.ndarray        # (n_ag, N, m) ADMM splitting warm start
     y: jnp.ndarray        # (n_ag, N, m)
-    rho_scale: jnp.ndarray  # (n_ag,) adaptive-rho warm start
+    rho_scale: jnp.ndarray  # (n_ag, m) per-row-class adaptive-rho warm start
 
 
 class StepMetrics(NamedTuple):
@@ -151,7 +151,7 @@ def init_lpv_fleet(track: Track, cfg: ExperimentConfig,
         u_old=jnp.zeros((cfg.n_agents, 2), dtype),
         w=jnp.zeros((cfg.n_agents, cfg.N, m), dtype),
         y=jnp.zeros((cfg.n_agents, cfg.N, m), dtype),
-        rho_scale=jnp.ones((cfg.n_agents,), dtype))
+        rho_scale=jnp.ones((cfg.n_agents, m), dtype))
 
 
 class ExperimentResult(NamedTuple):
