@@ -37,7 +37,8 @@ struct Solution {
   std::vector<Vec> z;  // (N+1)
   std::vector<Vec> c;  // (N)
   std::vector<Vec> w, y;
-  double r_prim = kInf, r_dual = kInf, rho_scale = 1.0;
+  double r_prim = kInf, r_dual = kInf;
+  Vec rho_scale;  // (m) per-row-class rho multipliers (ops/admm.py twin)
   int iterations = 0;
   bool feasible = false;
 };
@@ -53,7 +54,7 @@ void lqr_affine_solve(const StageQP& qp, const Factors& fac,
 
 Solution admm_solve(const StageQP& qp, const Vec& z0, int iters = 300,
                     double rho = 10.0, double alpha = 1.6, double eps = 1e-6,
-                    int epoch_len = 10, double rho_scale0 = 1.0,
+                    int epoch_len = 10, const Vec* rho_scale0 = nullptr,
                     const std::vector<Vec>* w0 = nullptr,
                     const std::vector<Vec>* y0 = nullptr);
 

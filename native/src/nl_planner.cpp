@@ -176,7 +176,8 @@ Solution nl_solve_native(const Track& trk, const NLGains& g,
     StageQP qp = build_nl_qp_native(trk, g, lim, mp, N, dt, x_bar, u_bar,
                                     n_nb, neigh_xy, lambdas, master,
                                     0.06, 0.6);
-    sol = admm_solve(qp, z0, admm_iters, 10.0, 1.6, 1e-5, 10, sol.rho_scale,
+    sol = admm_solve(qp, z0, admm_iters, 10.0, 1.6, 1e-5, 10,
+                     sol.rho_scale.empty() ? nullptr : &sol.rho_scale,
                      sol.w.empty() ? nullptr : &sol.w,
                      sol.y.empty() ? nullptr : &sol.y);
     for (int k = 0; k <= N; ++k)

@@ -88,7 +88,7 @@ void lqr_affine_solve(const StageQP& qp, const Factors& fac,
 
 Solution admm_solve(const StageQP& qp, const Vec& z0, int iters, double rho,
                     double alpha, double eps, int epoch_len,
-                    double rho_scale0, const std::vector<Vec>* w0,
+                    const Vec* rho_scale0, const std::vector<Vec>* w0,
                     const std::vector<Vec>* y0) {
   const int N = qp.N, m = qp.m;
   Solution sol;
@@ -99,7 +99,11 @@ Solution admm_solve(const StageQP& qp, const Vec& z0, int iters, double rho,
   for (int k = 0; k < N; ++k)
     for (int j = 0; j < m; ++j)
       sol.w[k][j] = std::clamp(sol.w[k][j], qp.lo[k][j], qp.hi[k][j]);
-  sol.rho_scale = rho_scale0;
+  // per-row-class rho multipliers (the ops/admm.py twin: stiff soft rows
+  // and plain box rows each drive their own penalty)
+  sol.rho_scale = (rho_scale0 && !rho_scale0->empty()) ? *rho_scale0
+                                                       : Vec(m, 1.0);
+  Vec rp_row(m), rd_row(m);
 
   // iters rounds DOWN to whole epochs so the stated budget is a hard cap
   const int n_epochs = std::max(1, iters / epoch_len);
@@ -107,8 +111,10 @@ Solution admm_solve(const StageQP& qp, const Vec& z0, int iters, double rho,
   std::vector<Vec> qlin(qp.N + 1), rlin(qp.N);
 
   for (int ep = 0; ep < n_epochs; ++ep) {
-    const double rv = rho * sol.rho_scale;
-    // augmented quadratics: Q + rv D'D, R + rv E'E, S = rv D'E
+    Vec rv(m);
+    for (int row = 0; row < m; ++row) rv[row] = rho * sol.rho_scale[row];
+    // augmented quadratics: Q + D' diag(rv) D, R + E' diag(rv) E,
+    // S = D' diag(rv) E
     for (int k = 0; k <= qp.N; ++k) Qa[k] = qp.Q[k];
     for (int k = 0; k < qp.N; ++k) {
       Ra[k] = qp.R[k];
@@ -118,15 +124,15 @@ Solution admm_solve(const StageQP& qp, const Vec& z0, int iters, double rho,
           const double di = qp.D[k](row, i);
           if (di == 0.0) continue;
           for (int j = 0; j < qp.nz; ++j)
-            Qa[k](i, j) += rv * di * qp.D[k](row, j);
+            Qa[k](i, j) += rv[row] * di * qp.D[k](row, j);
           for (int j = 0; j < qp.nc; ++j)
-            Sa[k](i, j) += rv * di * qp.E[k](row, j);
+            Sa[k](i, j) += rv[row] * di * qp.E[k](row, j);
         }
         for (int i = 0; i < qp.nc; ++i) {
           const double ei = qp.E[k](row, i);
           if (ei == 0.0) continue;
           for (int j = 0; j < qp.nc; ++j)
-            Ra[k](i, j) += rv * ei * qp.E[k](row, j);
+            Ra[k](i, j) += rv[row] * ei * qp.E[k](row, j);
         }
       }
     }
@@ -148,7 +154,7 @@ Solution admm_solve(const StageQP& qp, const Vec& z0, int iters, double rho,
       for (int k = 0; k < qp.N; ++k) {
         rlin[k] = qp.r[k];
         for (int row = 0; row < m; ++row) {
-          const double t = rv * (sol.y[k][row] - sol.w[k][row]);
+          const double t = rv[row] * (sol.y[k][row] - sol.w[k][row]);
           if (t == 0.0) continue;
           for (int i = 0; i < qp.nz; ++i) qlin[k][i] += qp.D[k](row, i) * t;
           for (int i = 0; i < qp.nc; ++i) rlin[k][i] += qp.E[k](row, i) * t;
@@ -157,8 +163,8 @@ Solution admm_solve(const StageQP& qp, const Vec& z0, int iters, double rho,
       lqr_affine_solve(qp, fac, qlin, rlin, z0, &sol.z, &sol.c);
 
       w_prev = sol.w;
-      sol.r_prim = 0.0;
-      sol.r_dual = 0.0;
+      std::fill(rp_row.begin(), rp_row.end(), 0.0);
+      std::fill(rd_row.begin(), rd_row.end(), 0.0);
       for (int k = 0; k < qp.N; ++k) {
         for (int row = 0; row < m; ++row) {
           double v = 0.0;
@@ -172,30 +178,37 @@ Solution admm_solve(const StageQP& qp, const Vec& z0, int iters, double rho,
           double w = wbar;
           if (wbar > hi) {
             const double s = qp.soft_hi[k][row];
-            const double f = std::isinf(s) ? 0.0 : rv / (rv + 2.0 * s);
+            const double f = std::isinf(s) ? 0.0 : rv[row] / (rv[row] + 2.0 * s);
             w = hi + f * (wbar - hi);
           } else if (wbar < lo) {
             const double s = qp.soft_lo[k][row];
-            const double f = std::isinf(s) ? 0.0 : rv / (rv + 2.0 * s);
+            const double f = std::isinf(s) ? 0.0 : rv[row] / (rv[row] + 2.0 * s);
             w = lo + f * (wbar - lo);
           }
           sol.w[k][row] = w;
           sol.y[k][row] += vhat - w;
-          sol.r_prim = std::max(sol.r_prim, std::fabs(v - w));
-          sol.r_dual = std::max(sol.r_dual, std::fabs(w - w_prev[k][row]));
+          rp_row[row] = std::max(rp_row[row], std::fabs(v - w));
+          rd_row[row] = std::max(rd_row[row], std::fabs(w - w_prev[k][row]));
         }
       }
       ++sol.iterations;
     }
+    sol.r_prim = *std::max_element(rp_row.begin(), rp_row.end());
+    sol.r_dual = *std::max_element(rd_row.begin(), rd_row.end());
 
     if (sol.r_prim < eps && sol.r_dual < eps) break;
-    double ratio = std::sqrt(sol.r_prim / std::max(sol.r_dual, 1e-12));
-    ratio = std::clamp(ratio, 0.2, 10.0);
-    const double ns = std::clamp(sol.rho_scale * ratio, 1e-3, 1e6);
-    const double corr = sol.rho_scale / ns;
+    // per-class rescale (classes inside tolerance keep their rho)
+    Vec corr(m, 1.0);
+    for (int row = 0; row < m; ++row) {
+      if (rp_row[row] < eps && rd_row[row] < eps) continue;
+      double ratio = std::sqrt(rp_row[row] / std::max(rd_row[row], 1e-12));
+      ratio = std::clamp(ratio, 0.2, 10.0);
+      const double ns = std::clamp(sol.rho_scale[row] * ratio, 1e-3, 1e6);
+      corr[row] = sol.rho_scale[row] / ns;
+      sol.rho_scale[row] = ns;
+    }
     for (auto& yk : sol.y)
-      for (auto& v : yk) v *= corr;
-    sol.rho_scale = ns;
+      for (int row = 0; row < m; ++row) yk[row] *= corr[row];
   }
   // tolerant acceptance matching the Python twin (feas_tol = 1e-2; see
   // CLAUDE.md invariants and ops/admm.py)
