@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--lambdas", default=None,
                     help="ini_lambdas.pkl warm start")
     ap.add_argument("--verb", type=int, default=1)
+    ap.add_argument("--verb-ocd", action="store_true",
+                    help="host-driven coordination loop with true "
+                    "per-iteration timings (reference verb_OCD; slower)")
     args = ap.parse_args()
     out = args.out or f"data/NL_{args.agents}agents_{args.coupling}"
 
@@ -48,7 +51,7 @@ def main():
     cfg = ExperimentConfig(
         n_agents=args.agents, N=args.N, dt=args.dt, max_it=args.steps,
         map_type=args.map, coupling=args.coupling, gains=nl_gains(),
-        path=out, verb=args.verb,
+        path=out, verb=args.verb, verb_ocd=args.verb_ocd,
         ocd=OCDConfig(max_it_ocd=50),
         solver=SolverConfig(admm_iters=200, sqp_iters=2))
     lam0 = (load_lambdas(args.lambdas, args.agents, args.N)
