@@ -24,7 +24,7 @@ from colaborativempc_tpu.geometry import Track
 from colaborativempc_tpu.planners.nl import nl_solve, NLSolution
 from colaborativempc_tpu.runtime.ocd import (
     OCDFleetState, OCDStepMetrics, _OCDLoopState, _dual_step,
-    _contain_nonfinite,
+    _contain_nonfinite, _bisector_planes,
 )
 from colaborativempc_tpu.runtime.simulate import _per_agent_limits
 
@@ -45,7 +45,7 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
     limits_pa = _per_agent_limits(cfg)
 
     def one_agent(limits, x0, x_bar, u_bar, u_old, lam_i, neigh_xy, mmask,
-                  w, y, rs):
+                  w, y, rs, pl):
         return nl_solve(
             track, gains, limits, cfg.model, N, cfg.dt,
             x0, x_bar, u_bar, u_old, lam_i, neigh_xy, mmask,
@@ -54,7 +54,14 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
             u_trust=(cfg.solver.u_trust_delta, cfg.solver.u_trust_acc),
             coupling=cfg.coupling, lane=cfg.lane,
             admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
-            alpha_relax=cfg.solver.alpha_relax, eps=cfg.solver.eps)
+            alpha_relax=cfg.solver.alpha_relax, eps=cfg.solver.eps,
+            planes0=pl)
+
+    # static neighbour-id table: nbs[i] = the ids every agent i solves
+    # against, in its local ordering (matches the rolled gather below)
+    nbs = jnp.asarray(np.stack([
+        np.roll(np.arange(n_ag), -(i + 1))[: n_ag - 1]
+        for i in range(n_ag)])) if n_ag > 1 else jnp.zeros((1, 1), int)
 
     def local_step(state: OCDFleetState):
         A_l = state.x0.shape[1]
@@ -67,10 +74,14 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
             all_xy = jax.lax.all_gather(
                 st.x_pred[:, :, :, 7:9], agent_axis, axis=1,
                 tiled=True)                            # (S_l, n_ag, N+1, 2)
+            # canonical pair planes for the local agents (hp_opt)
+            nb_l = nbs[gids]                           # (A_l, n_nb)
+            pl_i = st.planes[:, jnp.minimum(gids[:, None], nb_l),
+                             jnp.maximum(gids[:, None], nb_l)]
 
             def per_scenario(x0, x_pred, u_pred, u_old, lam, w, y, rs,
-                             all_xy_s):
-                def per_agent(la, x0a, xpa, upa, uoa, wa, ya, rsa):
+                             all_xy_s, pl_s):
+                def per_agent(la, x0a, xpa, upa, uoa, wa, ya, rsa, pla):
                     gid = gids[la]
                     lim_a = jax.tree.map(lambda v: v[gid], limits_pa)
                     rolled = jnp.roll(all_xy_s, -(gid + 1), axis=0)
@@ -79,24 +90,40 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
                     mmask = (gid < nb_ids).astype(xpa.dtype)
                     lam_i = lam[gid, nb_ids, :]        # (n_nb, N)
                     return one_agent(lim_a, x0a, xpa, upa, uoa, lam_i,
-                                     nb_xy, mmask, wa, ya, rsa)
+                                     nb_xy, mmask, wa, ya, rsa, pla)
                 return jax.vmap(per_agent)(
-                    jnp.arange(A_l), x0, x_pred, u_pred, u_old, w, y, rs)
+                    jnp.arange(A_l), x0, x_pred, u_pred, u_old, w, y, rs,
+                    pl_s)
 
             sol: NLSolution = jax.vmap(per_scenario)(
                 state.x0, st.x_pred, st.u_pred, state.u_old,
-                st.lambdas, st.w, st.y, st.rho_scale, all_xy)
-            x_new, u_new, w_new, y_new, rs_new, feas = _contain_nonfinite(
+                st.lambdas, st.w, st.y, st.rho_scale, all_xy, pl_i)
+            x_new, u_new, w_new, y_new, rs_new, feas, ok = _contain_nonfinite(
                 st, sol)
+            pl_new = jnp.where(ok[..., None, None, None], sol.planes, pl_i)
+            # gather every master's refined planes; scatter into the
+            # replicated pair tensor (slave writes land in unread slots)
+            pl_all = jax.lax.all_gather(pl_new, agent_axis, axis=1,
+                                        tiled=True)    # (S_l,n_ag,n_nb,N,2)
+            planes = st.planes.at[:, ids[:, None], nbs].set(pl_all)
+            planes = jax.lax.pmean(planes, agent_axis)
 
             # gather the new plans; replicate the dual ascent on each shard
             new_xy = jax.lax.all_gather(
                 x_new[:, :, 1:, 7:9], agent_axis, axis=1, tiled=True)
-            diff = new_xy[:, :, None] - new_xy[:, None, :]
-            dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-9)
-            g = jnp.max(jnp.asarray(cfg.limits.min_dist)) - dist
-            if cfg.coupling == "hp":
-                g = 0.5 * g
+            dth = jnp.max(jnp.asarray(cfg.limits.min_dist))
+            if cfg.coupling == "hp_opt":
+                th = planes[..., 0]
+                bpl = planes[..., 1]
+                val = (jnp.cos(th) * new_xy[:, None, :, :, 0]
+                       + jnp.sin(th) * new_xy[:, None, :, :, 1] + bpl)
+                g = dth / 2.0 - val                    # (S_l, i, j, N)
+            else:
+                diff = new_xy[:, :, None] - new_xy[:, None, :]
+                dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-9)
+                g = dth - dist
+                if cfg.coupling == "hp":
+                    g = 0.5 * g
             upper = (ids[:, None] < ids[None, :]).astype(
                 g.dtype)[None, :, :, None]
             g = g * upper
@@ -116,7 +143,7 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
                         | (st.it_ocd >= ocd.max_it_ocd))
             return _OCDLoopState(
                 x_pred=x_new, u_pred=u_new, x_old=st.x_pred,
-                lambdas=lambdas, alpha=alpha, g_prev=g,
+                lambdas=lambdas, alpha=alpha, g_prev=g, planes=planes,
                 w=w_new, y=y_new, rho_scale=rs_new,
                 it_ocd=st.it_ocd + 1, conv_count=conv_count,
                 finished=finished, feasible=feas)
@@ -124,11 +151,15 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
         # feasible is per-(scenario, agent) and varying; tie its init to the
         # data so the while_loop carry types match
         feas0 = jnp.sum(state.x0 * 0.0, axis=-1) == 0.0
+        all_xy0 = jax.lax.all_gather(
+            state.x_pred, agent_axis, axis=1, tiled=True)
         loop0 = _OCDLoopState(
             x_pred=state.x_pred, u_pred=state.u_pred, x_old=state.x_pred,
             lambdas=state.lambdas,
             alpha=jnp.full_like(state.lambdas, ocd.alpha),
             g_prev=jnp.zeros_like(state.lambdas),
+            planes=jax.lax.pmean(
+                jax.vmap(_bisector_planes)(all_xy0), agent_axis),
             w=state.w, y=state.y,
             rho_scale=state.rho_scale,
             it_ocd=jnp.asarray(0), conv_count=jnp.asarray(0),

@@ -49,6 +49,8 @@ class _OCDLoopState(NamedTuple):
     lambdas: jnp.ndarray
     alpha: jnp.ndarray    # per-(pair, stage) dual step (adaptive_alpha)
     g_prev: jnp.ndarray   # previous residual dth - dist (sign memory)
+    planes: jnp.ndarray   # (.., n_ag, n_ag, N, 2) pair planes (hp_opt);
+    #                       canonical slot (i, j) with i < j holds (theta, b)
     w: jnp.ndarray
     y: jnp.ndarray
     rho_scale: jnp.ndarray
@@ -56,6 +58,25 @@ class _OCDLoopState(NamedTuple):
     conv_count: jnp.ndarray
     finished: jnp.ndarray
     feasible: jnp.ndarray
+
+
+def _bisector_planes(x_pred: jnp.ndarray) -> jnp.ndarray:
+    """Initial canonical pair planes from the incumbent trajectories.
+
+    For pair (i, j), i < j: normal a = unit(p_j - p_i) (master -> slave),
+    offset b = -a.mid — the reference master's geometric initialisation
+    (NL_Planner_Hp.py falls back to hyperplane_separator when no planes are
+    carried; compute_plane.py:41-68). Returns (n_ag, n_ag, N, 2) of
+    (theta, b); only i < j slots are meaningful.
+    """
+    p = x_pred[:, 1:, 7:9]                               # (n_ag, N, 2)
+    diff = p[None, :, :, :] - p[:, None, :, :]           # (i, j, N, 2): j - i
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-9)
+    a = diff / dist[..., None]
+    theta = jnp.arctan2(a[..., 1], a[..., 0])
+    mid = 0.5 * (p[None, :, :, :] + p[:, None, :, :])
+    b = -jnp.sum(a * mid, axis=-1)
+    return jnp.stack([theta, b], axis=-1)                # (i, j, N, 2)
 
 
 def _dual_step(ocd, st: _OCDLoopState, g: jnp.ndarray):
@@ -118,7 +139,7 @@ def _contain_nonfinite(st: _OCDLoopState, sol):
             keep(sol.w, jnp.zeros_like(sol.w)),
             keep(sol.y, jnp.zeros_like(sol.y)),
             keep(sol.rho_scale, jnp.ones_like(sol.rho_scale)),
-            sol.feasible & ok)
+            sol.feasible & ok, ok)
 
 
 def _build_ocd_core(track: Track, cfg: ExperimentConfig):
@@ -146,7 +167,7 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
     ocd = cfg.ocd
 
     def one_agent(limits, x0, x_bar, u_bar, u_old, lam_i, neigh_xy, mmask,
-                  w, y, rs):
+                  w, y, rs, pl):
         return nl_solve(
             track, gains, limits, cfg.model, N, cfg.dt,
             x0, x_bar, u_bar, u_old, lam_i, neigh_xy, mmask,
@@ -155,7 +176,20 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
             u_trust=(cfg.solver.u_trust_delta, cfg.solver.u_trust_acc),
             coupling=cfg.coupling, lane=cfg.lane,
             admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
-            alpha_relax=cfg.solver.alpha_relax, eps=cfg.solver.eps)
+            alpha_relax=cfg.solver.alpha_relax, eps=cfg.solver.eps,
+            planes0=pl)
+
+    def _placeholder_planes(x_pred):
+        # single-agent: bisector to the far-away placeholder neighbour so
+        # the (inactive) plane row is maximally slack
+        pp = x_pred[:, 1:, 7:9]                          # (1, N, 2)
+        far = jnp.full_like(pp, 1e6)
+        d = far - pp
+        dn = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-9)
+        a = d / dn[..., None]
+        th = jnp.arctan2(a[..., 1], a[..., 0])
+        b = -jnp.sum(a * 0.5 * (pp + far), axis=-1)
+        return jnp.stack([th, b], axis=-1)[:, None]      # (1, 1, N, 2)
 
     def ocd_iteration(st: _OCDLoopState, x0, u_old) -> _OCDLoopState:
         agents_xy = jnp.swapaxes(st.x_pred[:, :, 7:9], 0, 1)  # (N+1, n_ag, 2)
@@ -165,26 +199,48 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
             # path's disabled-plane-row analogue)
             neigh = jnp.full((1, N + 1, 1, 2), 1e6, st.x_pred.dtype)
             lam = jnp.zeros((1, 1, N), st.x_pred.dtype)
+            pl_i = _placeholder_planes(st.x_pred)
         else:
             neigh = jnp.swapaxes(agents_xy[:, ns, :], 0, 1)   # (n_ag,N+1,nb,2)
             lam = st.lambdas[ids[:, None], ns, :]             # (n_ag, nb, N)
+            # canonical pair plane (min, max) regardless of role
+            pl_i = st.planes[jnp.minimum(ids[:, None], ns),
+                             jnp.maximum(ids[:, None], ns)]   # (n_ag,nb,N,2)
 
         sol: NLSolution = jax.vmap(one_agent)(
             limits_pa, x0, st.x_pred, st.u_pred, u_old, lam, neigh,
-            master_mask, st.w, st.y, st.rho_scale)
-        x_new, u_new, w_new, y_new, rs_new, feas = _contain_nonfinite(st, sol)
+            master_mask, st.w, st.y, st.rho_scale, pl_i)
+        x_new, u_new, w_new, y_new, rs_new, feas, ok = _contain_nonfinite(
+            st, sol)
+        pl_new = jnp.where(ok[:, None, None, None], sol.planes, pl_i)
+        if n_ag > 1:
+            # masters write their refined planes back to the canonical
+            # slots; slave writes land in unread (i > j) slots
+            planes = st.planes.at[ids[:, None], ns].set(pl_new)
+        else:
+            planes = st.planes
 
-        # dual ascent on master pairs i < j (NL_EU_N_main.py:130-139):
-        # "eu": lambda += alpha * (dth - ||p_i - p_j||)
-        # "hp": lambda += alpha * (dth - dist)/2 - evaluating the reference's
-        #       eval_constraintHp on the geometric bisector (NL/config.py:25-29)
-        p = x_new[:, 1:, 7:9]                                 # (n_ag, N, 2)
-        diff = p[:, None, :, :] - p[None, :, :, :]            # (i, j, N, 2)
-        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-9)
         dth = jnp.max(jnp.asarray(cfg.limits.min_dist))
-        g = dth - dist                                        # (i, j, N)
-        if cfg.coupling == "hp":
-            g = 0.5 * g
+        p = x_new[:, 1:, 7:9]                                 # (n_ag, N, 2)
+        if cfg.coupling == "hp_opt":
+            # eval_constraintHp on the refined plane and the SLAVE's new
+            # position (NL_HP_N_main.py:127-133, NL/config.py:25-29):
+            # g = dth/2 - (a.p_slave + b)
+            th = planes[..., 0]
+            bpl = planes[..., 1]
+            val = (jnp.cos(th) * p[None, :, :, 0]
+                   + jnp.sin(th) * p[None, :, :, 1] + bpl)    # (i, j, N)
+            g = dth / 2.0 - val
+        else:
+            # dual ascent on master pairs i < j (NL_EU_N_main.py:130-139):
+            # "eu": lambda += alpha * (dth - ||p_i - p_j||)
+            # "hp": lambda += alpha * (dth - dist)/2 - the reference's
+            #       eval_constraintHp on the geometric bisector
+            diff = p[:, None, :, :] - p[None, :, :, :]        # (i, j, N, 2)
+            dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-9)
+            g = dth - dist                                    # (i, j, N)
+            if cfg.coupling == "hp":
+                g = 0.5 * g
         upper = (ids[:, None] < ids[None, :]).astype(g.dtype)[:, :, None]
         g = g * upper
         lambdas, alpha = _dual_step(ocd, st, g)
@@ -196,7 +252,7 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
 
         return _OCDLoopState(
             x_pred=x_new, u_pred=u_new, x_old=st.x_pred,
-            lambdas=lambdas, alpha=alpha, g_prev=g,
+            lambdas=lambdas, alpha=alpha, g_prev=g, planes=planes,
             w=w_new, y=y_new, rho_scale=rs_new,
             it_ocd=st.it_ocd + 1, conv_count=conv_count,
             finished=finished, feasible=feas)
@@ -207,6 +263,7 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
             lambdas=state.lambdas,
             alpha=jnp.full_like(state.lambdas, ocd.alpha),
             g_prev=jnp.zeros_like(state.lambdas),
+            planes=_bisector_planes(state.x_pred),
             w=state.w, y=state.y,
             rho_scale=state.rho_scale,
             it_ocd=jnp.asarray(0), conv_count=jnp.asarray(0),
@@ -317,7 +374,7 @@ def init_nl_fleet(track: Track, cfg: ExperimentConfig,
     _, x_pred, u_pred = initialise_agents(track, x0s, cfg.N, cfg.dt,
                                           lane=cfg.lane)
     n_nb = max(cfg.n_agents - 1, 1)
-    m = 4 + n_nb
+    m = 4 + (3 * n_nb if cfg.coupling == "hp_opt" else n_nb)
     if lambdas0 is None:
         lambdas0 = jnp.zeros((cfg.n_agents, cfg.n_agents, cfg.N), dtype)
     else:

@@ -212,8 +212,18 @@ def run_lpv_experiment(cfg: ExperimentConfig,
         if io is not None:
             io.update(it, state, metrics, times[-1])
 
-        if not bool(np.all(feas_h[-1])):
+        # Abort semantics mirror the reference's LPV loop: OSQP statuses
+        # solved / solved_inaccurate / max_iter_reached are ALL treated as
+        # feasible and the loop continues (LPV_Planner.py:241-249 +
+        # LPV_HP_N_main.py:102-104); only a hard solver failure stops the
+        # experiment. The ADMM analogue of max_iter_reached is a finite
+        # solution with residuals above tolerance — continue on it (the
+        # per-step feasible flags are still recorded), abort on non-finite.
+        if not bool(np.all(np.isfinite(states[-1]))):
             break
+        if cfg.verb >= 1 and not bool(np.all(feas_h[-1])):
+            bad = np.where(~np.asarray(feas_h[-1]))[0].tolist()
+            print(f"[step {it}] inaccurate solve accepted (agents {bad})")
         # lap termination on any agent (reference checkEnd, misc.py:28-48)
         if bool(np.any(np.asarray(
                 check_end(track, state.x0[:, 6], laps=cfg.laps,

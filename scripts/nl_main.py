@@ -21,7 +21,8 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--coupling", choices=["eu", "hp"], default="eu")
+    ap.add_argument("--coupling", choices=["eu", "hp", "hp_opt"],
+                    default="eu")
     ap.add_argument("--agents", type=int, default=3)
     ap.add_argument("--N", type=int, default=20)
     ap.add_argument("--dt", type=float, default=0.02)

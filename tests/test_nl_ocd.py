@@ -143,6 +143,61 @@ def test_rti_mode():
     assert (res.states[-1, :, 6] > 0.3).all()
 
 
+def test_hp_opt_coupling_variant():
+    """Hyperplanes as decision variables (the reference's full Hp master
+    formulation, NL_Planner_Hp.py:89-98): the master refines its plane
+    (angle/offset perturbations as stage controls, ||a||=1 exact by the
+    angle parameterisation) jointly with its trajectory; slaves use the
+    shipped plane as a parameter row."""
+    cfg = nl_cfg(coupling="hp_opt", max_it=30)
+    res = run_nl_experiment(cfg)
+    assert res.steps == 30
+    assert res.feasible.all()
+    assert res.min_dist_exec.min() > cfg.limits.min_dist * 0.8
+    s = res.states[:, :, 6]
+    assert (s[-1] > 0.4).all()
+    assert float(res.ocd_iterations[5:].mean()) < 15
+
+
+def test_hp_opt_master_refines_plane():
+    """Under an active price the master's solution moves the plane away
+    from the geometric bisector (dtheta/db nonzero within trust bounds)."""
+    from colaborativempc_tpu.config import SysLimits, ModelParams
+    from colaborativempc_tpu.geometry import make_track
+    from colaborativempc_tpu.planners.nl import (
+        nl_solve, PLANE_TRUST_THETA, PLANE_TRUST_B,
+    )
+    from colaborativempc_tpu.utils import initialise_agents
+    from colaborativempc_tpu.config import x0_database
+
+    track = make_track("Highway")
+    gains, lim, mp = nl_gains(), SysLimits(), ModelParams()
+    N, dt = 10, 0.02
+    x0s = jnp.asarray(x0_database(2), jnp.float32)
+    agents_xy, x_pred, u_pred = initialise_agents(track, x0s, N, dt)
+    neigh = agents_xy[:, [1], :]                     # ego 0 master vs 1
+    # canonical bisector planes (theta, b)
+    diff = np.asarray(neigh[1:, 0]) - np.asarray(x_pred[0][1:, 7:9])
+    dist = np.linalg.norm(diff, axis=-1)
+    a = diff / dist[:, None]
+    th = np.arctan2(a[:, 1], a[:, 0])
+    b = -np.sum(a * 0.5 * (np.asarray(neigh[1:, 0])
+                           + np.asarray(x_pred[0][1:, 7:9])), axis=-1)
+    planes0 = jnp.asarray(np.stack([th, b], -1))[None]   # (1, N, 2)
+
+    lam = jnp.full((1, N), 2.0)                      # active price
+    sol = nl_solve(track, gains, lim, mp, N, dt, x_pred[0][0], x_pred[0],
+                   u_pred[0], jnp.zeros(2), lam, neigh,
+                   jnp.ones(1, jnp.float32), coupling="hp_opt",
+                   sqp_iters=2, admm_iters=300, planes0=planes0)
+    assert bool(sol.feasible)
+    dpl = np.asarray(sol.planes) - np.asarray(planes0)
+    assert np.abs(dpl[..., 0]).max() > 1e-4          # plane actually moved
+    # cumulative move bounded by sqp_iters trust radii
+    assert np.abs(dpl[..., 0]).max() <= 2 * PLANE_TRUST_THETA + 1e-5
+    assert np.abs(dpl[..., 1]).max() <= 2 * PLANE_TRUST_B + 1e-5
+
+
 def test_dual_projection():
     """Coupling prices are projected onto [lambda_lo, inf).
 
@@ -182,8 +237,9 @@ def test_nonfinite_containment():
         feasible=jnp.ones((n_ag,), bool),
         w=jnp.zeros((n_ag, N, 6)), y=jnp.zeros((n_ag, N, 6)),
         rho_scale=jnp.full((n_ag,), 7.0),
-        iterations=None, r_prim=None)
-    xp, up, w, y, rs, feas = _contain_nonfinite(St, sol)
+        iterations=None, r_prim=None,
+        planes=jnp.zeros((n_ag, 2, N, 2)))
+    xp, up, w, y, rs, feas, ok = _contain_nonfinite(St, sol)
     assert bool(jnp.all(jnp.isfinite(xp)))
     np.testing.assert_allclose(np.asarray(xp[1]), np.asarray(x_prev[1]))
     np.testing.assert_allclose(np.asarray(xp[0]), np.asarray(x_new[0]))
