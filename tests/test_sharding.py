@@ -92,3 +92,36 @@ def test_sharded_ocd_matches_single_device():
                          - np.asarray(ref_state.lambdas)).max()
         assert lam_err < 1e-3, lam_err
     assert np.asarray(metrics.feasible).all()
+
+
+def test_sharded_ocd_hp_opt_matches_single_device():
+    """hp_opt over the mesh: the plane exchange (all_gather + scatter into
+    the replicated pair tensor) must reproduce the single-device step."""
+    from colaborativempc_tpu.config import nl_gains, OCDConfig
+    from colaborativempc_tpu.runtime.ocd import init_nl_fleet, make_nl_ocd_step
+    from colaborativempc_tpu.parallel import (
+        make_sharded_nl_ocd_step, shard_ocd_state,
+    )
+
+    cfg = ExperimentConfig(
+        n_agents=4, N=8, dt=0.02, max_it=5, map_type="oval",
+        coupling="hp_opt",
+        gains=nl_gains(), ocd=OCDConfig(max_it_ocd=10),
+        solver=SolverConfig(admm_iters=150, sqp_iters=2))
+    track = make_track(cfg.map_type)
+    state = init_nl_fleet(track, cfg)
+
+    ref_state, ref_metrics = make_nl_ocd_step(track, cfg)(state)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("scen", "agent"))
+    bstate = shard_ocd_state(state, 2, mesh)
+    new_state, metrics = make_sharded_nl_ocd_step(track, cfg, mesh)(bstate)
+
+    for s in range(2):
+        err = np.abs(np.asarray(new_state.x_pred[s])
+                     - np.asarray(ref_state.x_pred)).max()
+        assert err < 2e-3, err
+        lam_err = np.abs(np.asarray(new_state.lambdas[s])
+                         - np.asarray(ref_state.lambdas)).max()
+        assert lam_err < 2e-3, lam_err
+    assert np.asarray(metrics.feasible).all()
