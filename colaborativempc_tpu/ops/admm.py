@@ -130,6 +130,66 @@ def build_admm_cost(qp: StageQP, rho) -> LQRCost:
     return LQRCost(Q=Q, q=qp.cost.q, R=R, r=qp.cost.r, S=S)
 
 
+class ADMMEpochData(NamedTuple):
+    """Everything one ADMM epoch needs besides the (w, y) state — the
+    factorisation and constraint data that stay FIXED across the epoch's
+    iterations. Produced by :func:`admm_epoch_inputs`; consumed by the XLA
+    epoch inside :func:`admm_solve` and by the Pallas in-VMEM epoch kernel
+    (``ops/pallas_lqr.py admm_epoch_batched``), so both paths share one
+    definition of the iteration.
+    """
+    F: jnp.ndarray        # (N, nz, nz) dynamics
+    G: jnp.ndarray        # (N, nz, nc)
+    d: jnp.ndarray        # (N, nz)
+    K: jnp.ndarray        # (N, nc, nz) Riccati gains (rho-augmented cost)
+    Quu_inv: jnp.ndarray  # (N, nc, nc) explicit inverses (nc is tiny)
+    Qxu: jnp.ndarray      # (N, nz, nc)
+    m: jnp.ndarray        # (N, nz) P_{k+1} d_k drift
+    q: jnp.ndarray        # (N+1, nz) rho-augmented linear state cost
+    r: jnp.ndarray        # (N, nc)
+    D: jnp.ndarray        # (N, mr, nz) masked constraint rows
+    E: jnp.ndarray        # (N, mr, nc)
+    lo: jnp.ndarray       # (N, mr)
+    hi: jnp.ndarray       # (N, mr)
+    rv: jnp.ndarray       # (N, mr) effective per-row rho (0 on inactive rows)
+    fac_lo: jnp.ndarray   # (N, mr) soft-row prox shrink factors
+    fac_hi: jnp.ndarray   # (N, mr)
+
+
+def admm_epoch_inputs(qp: StageQP, rho: float = 10.0,
+                      rho_scale=1.0, reg: float = 1e-8) -> ADMMEpochData:
+    """Factorise + precompute one epoch's fixed data for the given per-row
+    rho multipliers — exactly the quantities ``admm_solve``'s epoch body
+    derives before its iteration scan."""
+    dtype = qp.lo.dtype
+    mr = qp.lo.shape[1]
+    mask = _active_rows(qp)
+    base_rv = _rho_vec(qp, rho) * mask
+    rho_scale = jnp.broadcast_to(jnp.asarray(rho_scale, dtype), (mr,))
+    rv = base_rv * rho_scale[None, :]
+    Dm = qp.D * mask[..., None]
+    Em = qp.E * mask[..., None]
+    slo = (jnp.full_like(qp.lo, jnp.inf) if qp.soft_lo is None
+           else qp.soft_lo.astype(dtype))
+    shi = (jnp.full_like(qp.hi, jnp.inf) if qp.soft_hi is None
+           else qp.soft_hi.astype(dtype))
+    aug_cost = build_admm_cost(qp, rv)
+    fac = lqr_factorize(qp.dyn, aug_cost, reg)
+    nc = qp.dyn.G.shape[-1]
+    eye = jnp.eye(nc, dtype=dtype)
+    Quu_inv = jax.vmap(
+        lambda L: jax.scipy.linalg.cho_solve((L, True), eye))(fac.Quu_chol)
+    rv_safe = jnp.where(rv > 0, rv, 1.0)
+    fac_lo = jnp.where(jnp.isinf(slo), 0.0, rv_safe / (rv_safe + 2.0 * slo))
+    fac_hi = jnp.where(jnp.isinf(shi), 0.0, rv_safe / (rv_safe + 2.0 * shi))
+    return ADMMEpochData(
+        F=qp.dyn.F, G=qp.dyn.G, d=qp.dyn.d,
+        K=fac.K, Quu_inv=Quu_inv, Qxu=fac.Qxu, m=fac.m,
+        q=aug_cost.q, r=aug_cost.r,
+        D=Dm, E=Em, lo=qp.lo, hi=qp.hi, rv=rv,
+        fac_lo=fac_lo, fac_hi=fac_hi)
+
+
 def admm_solve(qp: StageQP, z0: jnp.ndarray,
                w0: Optional[jnp.ndarray] = None,
                y0: Optional[jnp.ndarray] = None,

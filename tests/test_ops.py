@@ -314,3 +314,62 @@ def test_pallas_affine_kernel_interpret():
     for i in range(B):
         assert np.allclose(np.asarray(z[i]), refs[i][0], atol=5e-5)
         assert np.allclose(np.asarray(c[i]), refs[i][1], atol=5e-5)
+
+
+def test_pallas_admm_epoch_kernel_interpret():
+    """The Pallas in-VMEM full-ADMM-epoch kernel reproduces ops/admm.py's
+    epoch exactly: same splitting iteration, over-relaxation, soft-row prox
+    shrinkage, and per-row-class residuals. Interpreter mode (see
+    test_pallas_affine_kernel_interpret for why); hardware benchmarking is
+    a direct-attached-TPU follow-up (ROADMAP.md).
+    """
+    from colaborativempc_tpu.ops.admm import admm_epoch_inputs
+    from colaborativempc_tpu.ops.pallas_lqr import admm_epoch_batched
+
+    rng = np.random.default_rng(23)
+    B, N, nz, nc, m = 4, 10, 5, 2, 3
+    EL, RHO, ALPHA = 25, 10.0, 1.6
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+
+    qps, z0s, w0s, y0s, refs = [], [], [], [], []
+    for _ in range(B):
+        F, G, d, Q, R, S, q, r, z0, D, E, lo, hi = _constrained_problem(
+            rng, N=N, nz=nz, nc=nc, m=m)
+        # row 0 soft on both sides (the framework's slacked-constraint
+        # form), rows 1.. hard
+        soft = np.full((N, m), np.inf)
+        soft[:, 0] = 50.0
+        qp = StageQP(
+            dyn=LQRDynamics(f32(F), f32(G), f32(d)),
+            cost=LQRCost(f32(Q), f32(q), f32(R), f32(r), f32(S)),
+            D=f32(D), E=f32(E), lo=f32(lo), hi=f32(hi),
+            soft_lo=f32(soft), soft_hi=f32(soft))
+        w0 = np.clip(rng.normal(size=(N, m)) * 0.1, lo, hi)
+        y0 = rng.normal(size=(N, m)) * 0.05
+        # eps=1e30: every class is "quiet" after epoch 1, so admm_solve
+        # keeps rho, skips the dual rescale, and exits — its outputs are
+        # the pure one-epoch result the kernel must match
+        sol = admm_solve(qp, f32(z0), w0=f32(w0), y0=f32(y0),
+                         iters=EL, rho=RHO, alpha=ALPHA, eps=1e30,
+                         epoch_len=EL)
+        qps.append(qp)
+        z0s.append(z0)
+        w0s.append(w0)
+        y0s.append(y0)
+        refs.append(sol)
+
+    qp_b = jax.tree.map(lambda *xs: jnp.stack(xs), *qps)
+    data = jax.vmap(lambda qp: admm_epoch_inputs(qp, rho=RHO))(qp_b)
+    z, c, w, y, rp, rd = admm_epoch_batched(
+        data, f32(np.stack(z0s)), f32(np.stack(w0s)), f32(np.stack(y0s)),
+        epoch_len=EL, alpha=ALPHA, interpret=True)
+
+    for i, sol in enumerate(refs):
+        assert np.allclose(np.asarray(z[i]), np.asarray(sol.z), atol=1e-3)
+        assert np.allclose(np.asarray(c[i]), np.asarray(sol.c), atol=1e-3)
+        assert np.allclose(np.asarray(w[i]), np.asarray(sol.w), atol=1e-3)
+        assert np.allclose(np.asarray(y[i]), np.asarray(sol.y), atol=1e-3)
+        assert np.isclose(float(jnp.max(rp[i])), float(sol.r_prim),
+                          atol=1e-4)
+        assert np.isclose(float(jnp.max(rd[i])), float(sol.r_dual),
+                          atol=1e-4)
