@@ -25,7 +25,7 @@ def main():
     )
     from colaborativempc_tpu.geometry import make_track
     from colaborativempc_tpu.runtime import init_lpv_fleet
-    from colaborativempc_tpu.runtime.simulate import make_lpv_fleet_step
+    from colaborativempc_tpu.runtime.simulate import make_lpv_fleet_rollout
     from colaborativempc_tpu.parallel import batch_fleet_state
 
     B = 64          # scenario batch per chip
@@ -45,13 +45,13 @@ def main():
     dx = jnp.asarray(rng.normal(size=state.x0.shape) * 0.02, state.x0.dtype)
     state = state._replace(x0=state.x0 + dx)
 
-    fleet_step = make_lpv_fleet_step(track, cfg)
-    step = jax.jit(jax.vmap(fleet_step))
+    # the STEPS control steps run as ONE scanned device program (no host
+    # dispatch between steps — simulate.make_lpv_fleet_rollout)
+    rollout = jax.jit(jax.vmap(make_lpv_fleet_rollout(track, cfg, STEPS)))
 
-    state, _ = jax.block_until_ready(step(state))   # compile + warm
+    state, _ = jax.block_until_ready(rollout(state))   # compile + warm
     t0 = time.time()
-    for _ in range(STEPS):
-        state, metrics = step(state)
+    state, _ = rollout(state)
     jax.block_until_ready(state)
     dt_step = (time.time() - t0) / STEPS
 

@@ -92,20 +92,26 @@ def run_lpv_battery(cfg: ExperimentConfig, grid: Sequence[Gains],
                       + 1e-12) + jnp.eye(pe.shape[0]) * 1e9
         return new_state, (jnp.min(de), sol.feasible)
 
-    sweep_step = jax.jit(jax.vmap(fleet_step))
+    # the whole sweep is ONE device program: every gain combination
+    # advances through all `steps` inside a single scanned jit call (no
+    # per-step host dispatch; cf. simulate.make_lpv_fleet_rollout)
+    def sweep_rollout(gains, state: FleetState):
+        def body(st, _):
+            st2, (min_de, feas) = fleet_step(gains, st)
+            return st2, (st2.x0, min_de, feas)
+        return jax.lax.scan(body, state, None, length=steps)
+
+    sweep = jax.jit(jax.vmap(sweep_rollout))
 
     state = jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (n_cfg,) + x.shape).copy(),
         init_lpv_fleet(track, cfg))
 
-    states_h, dist_h, feas_h = [], [], []
-    for _ in range(steps):
-        state, (min_de, feas) = sweep_step(gains_batch, state)
-        states_h.append(np.asarray(state.x0))
-        dist_h.append(np.asarray(min_de))
-        feas_h.append(np.asarray(feas))
-
-    states_h = np.asarray(states_h)
+    state, (x0_h, min_de_h, feas_h) = sweep(gains_batch, state)
+    # (n_cfg, steps, ...) -> (steps, n_cfg, ...) to keep the result schema
+    states_h = np.moveaxis(np.asarray(x0_h), 0, 1)
+    dist_h = np.moveaxis(np.asarray(min_de_h), 0, 1)
+    feas_h = np.moveaxis(np.asarray(feas_h), 0, 1)
     return BatteryResult(
         states=states_h,
         min_dist_exec=np.asarray(dist_h),

@@ -132,6 +132,30 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
     return jax.jit(step)
 
 
+def make_lpv_fleet_rollout(track: Track, cfg: ExperimentConfig, steps: int):
+    """Fixed-step fully-on-device closed-loop rollout: ``lax.scan`` over
+    control steps, so a whole experiment (or a sweep/Monte-Carlo chunk) is
+    ONE device program with no host dispatch between steps — dispatch costs
+    more than the solves at small batch sizes over a remote backend. The
+    reference's outer loop is host Python by construction
+    (``LPV_HP_N_main.py:96``); this is the TPU-native alternative for
+    fixed-step workloads (benchmarks, sweeps). ``run_lpv_experiment`` keeps
+    the host loop for data-dependent termination + IO.
+
+    Returns a jitted ``state -> (final_state, (x0_hist, u_hist, metrics))``
+    with ``(steps, ...)`` leading axes on the history outputs.
+    """
+    step = make_lpv_fleet_step(track, cfg)
+
+    def rollout(state: FleetState):
+        def body(st, _):
+            st2, m = step(st)
+            return st2, (st2.x0, st2.u_old, m)
+        return jax.lax.scan(body, state, None, length=steps)
+
+    return jax.jit(rollout)
+
+
 def init_lpv_fleet(track: Track, cfg: ExperimentConfig,
                    x0s: Optional[np.ndarray] = None) -> FleetState:
     dtype = jnp.float32 if cfg.dtype == "float32" else jnp.float64

@@ -202,3 +202,35 @@ def test_ocd_checkpoint_roundtrip(tmp_path):
     b, _ = step(resumed)
     for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         assert np.allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_fleet_rollout_matches_step_loop():
+    """The scanned on-device rollout is bitwise the same computation as the
+    host-driven per-step loop (same jitted step inside lax.scan)."""
+    import jax
+    from colaborativempc_tpu.runtime.simulate import (
+        init_lpv_fleet, make_lpv_fleet_rollout, make_lpv_fleet_step,
+    )
+    cfg = ExperimentConfig(n_agents=2, N=8, dt=0.025, map_type="oval",
+                           gains=lpv_gains(),
+                           solver=SolverConfig(admm_iters=100))
+    track = make_track(cfg.map_type)
+    steps = 6
+
+    state = init_lpv_fleet(track, cfg)
+    step = make_lpv_fleet_step(track, cfg)
+    x0_ref, u_ref, feas_ref = [], [], []
+    st = state
+    for _ in range(steps):
+        st, m = step(st)
+        x0_ref.append(np.asarray(st.x0))
+        u_ref.append(np.asarray(st.u_old))
+        feas_ref.append(np.asarray(m.feasible))
+
+    st2, (x0_h, u_h, metrics) = make_lpv_fleet_rollout(track, cfg, steps)(
+        state)
+    assert np.allclose(np.asarray(x0_h), np.asarray(x0_ref), atol=1e-5)
+    assert np.allclose(np.asarray(u_h), np.asarray(u_ref), atol=1e-5)
+    assert np.array_equal(np.asarray(metrics.feasible),
+                          np.asarray(feas_ref))
+    assert np.allclose(np.asarray(st2.x0), x0_ref[-1], atol=1e-5)
