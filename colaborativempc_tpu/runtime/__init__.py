@@ -1,11 +1,12 @@
 from colaborativempc_tpu.runtime.simulate import (
     FleetState, StepMetrics, ExperimentResult,
-    make_lpv_fleet_step, init_lpv_fleet, run_lpv_experiment,
+    make_lpv_fleet_step, make_lpv_fleet_rollout, init_lpv_fleet,
+    run_lpv_experiment,
 )
 from colaborativempc_tpu.runtime.ocd import (
     OCDFleetState, OCDStepMetrics, NLExperimentResult,
-    make_nl_ocd_step, make_nl_ocd_instrumented, init_nl_fleet,
-    run_nl_experiment,
+    make_nl_ocd_step, make_nl_ocd_rollout, make_nl_ocd_instrumented,
+    init_nl_fleet, run_nl_experiment,
 )
 from colaborativempc_tpu.runtime.io import (
     ExperimentIO, load_lambdas, load_experiment,

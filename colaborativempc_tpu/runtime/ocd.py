@@ -319,6 +319,31 @@ def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
     return jax.jit(step)
 
 
+def make_nl_ocd_rollout(track: Track, cfg: ExperimentConfig, steps: int):
+    """Fixed-step fully-on-device NL-OCD rollout: ``lax.scan`` over control
+    steps, each step a complete coordination ``while_loop`` — the NL twin
+    of ``simulate.make_lpv_fleet_rollout`` (no host dispatch between steps;
+    for benchmarks/sweeps — ``run_nl_experiment`` keeps the host loop for
+    termination + IO). Returns jitted
+    ``state -> (final_state, (x0_hist, u_hist, OCDStepMetrics))``.
+    """
+    ocd_iteration, loop_init, cond, finalize = _build_ocd_core(track, cfg)
+
+    def one_step(state: OCDFleetState):
+        out = jax.lax.while_loop(
+            cond, lambda st: ocd_iteration(st, state.x0, state.u_old),
+            loop_init(state))
+        return finalize(out)
+
+    def rollout(state: OCDFleetState):
+        def body(st, _):
+            st2, m = one_step(st)
+            return st2, (st2.x0, st2.u_old, m)
+        return jax.lax.scan(body, state, None, length=steps)
+
+    return jax.jit(rollout)
+
+
 def make_nl_ocd_instrumented(track: Track, cfg: ExperimentConfig):
     """Host-driven OCD control step with true per-iteration device timing.
 

@@ -39,7 +39,7 @@ def main():
     )
     from colaborativempc_tpu.geometry import make_track
     from colaborativempc_tpu.runtime import init_lpv_fleet
-    from colaborativempc_tpu.runtime.simulate import make_lpv_fleet_step
+    from colaborativempc_tpu.runtime.simulate import make_lpv_fleet_rollout
     from colaborativempc_tpu.parallel import batch_fleet_state
 
     cfg = ExperimentConfig(
@@ -54,13 +54,12 @@ def main():
     #                        Frenet/Cartesian pairs that must stay consistent
     state = state._replace(x0=state.x0 + jnp.asarray(pert, state.x0.dtype))
 
-    step = jax.jit(jax.vmap(make_lpv_fleet_step(track, cfg)))
-    min_dist = np.full(args.scenarios, np.inf)
-    feas = np.ones(args.scenarios, bool)
-    for _ in range(args.steps):
-        state, m = step(state)
-        min_dist = np.minimum(min_dist, np.asarray(m.min_dist_exec))
-        feas &= np.asarray(m.feasible).all(axis=1)
+    # all steps of all scenarios run as ONE scanned device program
+    rollout = jax.jit(jax.vmap(make_lpv_fleet_rollout(track, cfg,
+                                                      args.steps)))
+    state, (_, _, m) = rollout(state)
+    min_dist = np.asarray(m.min_dist_exec).min(axis=1)      # (scenarios,)
+    feas = np.asarray(m.feasible).all(axis=(1, 2))
 
     prog = np.asarray(state.x0[:, :, 6]).mean(axis=1)
     print(f"{args.scenarios} scenarios x {args.agents} agents x "

@@ -293,3 +293,29 @@ def test_single_agent_nl():
     assert res.steps == 20
     assert res.feasible.all()
     assert res.states[-1, 0, 6] > 0.3
+
+
+def test_nl_rollout_matches_step_loop():
+    """The scanned on-device NL-OCD rollout equals the host-driven loop
+    over make_nl_ocd_step (same coordination while_loop inside lax.scan)."""
+    from colaborativempc_tpu.runtime.ocd import make_nl_ocd_rollout
+
+    cfg = nl_cfg(n_agents=2, N=10)
+    track = make_track(cfg.map_type)
+    steps = 4
+
+    state = init_nl_fleet(track, cfg)
+    step = make_nl_ocd_step(track, cfg)
+    st = state
+    x0_ref, it_ref = [], []
+    for _ in range(steps):
+        st, m = step(st)
+        x0_ref.append(np.asarray(st.x0))
+        it_ref.append(int(m.ocd_iterations))
+
+    st2, (x0_h, u_h, metrics) = make_nl_ocd_rollout(track, cfg, steps)(
+        state)
+    assert np.allclose(np.asarray(x0_h), np.asarray(x0_ref), atol=1e-5)
+    assert np.array_equal(np.asarray(metrics.ocd_iterations),
+                          np.asarray(it_ref))
+    assert np.allclose(np.asarray(st2.x0), x0_ref[-1], atol=1e-5)
