@@ -7,3 +7,7 @@ from colaborativempc_tpu.geometry.frenet import (
 from colaborativempc_tpu.geometry.planes import (
     compute_hyperplanes, plane_signed_distance, separation_weights,
 )
+from colaborativempc_tpu.geometry.spline import (
+    fit_centerline, track_from_json, load_track_json, project_on_spline,
+    remove_outliers, halfwidth_from_boundaries,
+)

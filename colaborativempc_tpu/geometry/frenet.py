@@ -117,13 +117,20 @@ def cartesian_to_frenet(track: Track, x, y, psi, lane: int = 0):
     straight = jnp.abs(lk) < _EPS_KAPPA
     nondegenerate = llen > 0.0
 
+    # Per-segment boundary tolerance: on dense spline-fitted tables
+    # (geometry/spline.py) a query can land exactly on a segment boundary
+    # and float rounding would make BOTH adjacent segments reject it; the
+    # reference's coarse segments never hit this (its boundaries are exact
+    # in float64, track_initialization.py:438-535).
+    tol_s = 1e-3 * llen
+
     # ---- straight-segment candidates -------------------------------------
     t_hat = jnp.stack([jnp.cos(lpsi), jnp.sin(lpsi)], axis=-1)
     n_hat = jnp.stack([-jnp.sin(lpsi), jnp.cos(lpsi)], axis=-1)
     v = p[None, :] - jnp.stack([lx0, ly0], axis=-1)
     s_loc_str = jnp.sum(v * t_hat, axis=-1)
     ey_str = jnp.sum(v * n_hat, axis=-1)
-    valid_str = ((s_loc_str >= 0.0) & (s_loc_str <= llen)
+    valid_str = ((s_loc_str >= -tol_s) & (s_loc_str <= llen + tol_s)
                  & (jnp.abs(ey_str) <= lhw + track.slack))
     epsi_str = wrap_to_pi(psi - lpsi)
 
@@ -143,8 +150,8 @@ def cartesian_to_frenet(track: Track, x, y, psi, lane: int = 0):
     r_abs = jnp.abs(rho)
     s_loc_arc = jnp.abs(arc2) * r_abs
     ey_arc = -jnp.sign(lk) * (jnp.linalg.norm(w, axis=-1) - r_abs)
-    valid_arc = ((jnp.sign(arc1) == jnp.sign(arc2))
-                 & (jnp.abs(arc2) <= jnp.abs(arc1))
+    valid_arc = (((jnp.sign(arc1) == jnp.sign(arc2)) | (s_loc_arc <= tol_s))
+                 & (s_loc_arc <= llen + tol_s)
                  & (jnp.abs(ey_arc) <= 3.0 * lhw + track.slack))
     epsi_arc = wrap_to_pi(psi - (lpsi + arc2))
 
@@ -154,7 +161,14 @@ def cartesian_to_frenet(track: Track, x, y, psi, lane: int = 0):
     valid = jnp.where(straight, valid_str, valid_arc) & nondegenerate
 
     any_valid = jnp.any(valid)
-    first = jnp.argmax(valid)  # first True, or 0 if none
+    # Among valid candidates, take the one with the smallest |ey|. The
+    # reference's sequential scan takes the FIRST valid segment
+    # (track_initialization.py:438-535, early break) — equivalent when the
+    # valid segment is unique, as it is for the coarse analytic tracks; on
+    # dense spline-fitted tables (geometry/spline.py) opposite track sides
+    # can both fall inside the acceptance band, and nearest-|ey| is the
+    # correct localisation.
+    first = jnp.argmin(jnp.where(valid, jnp.abs(ey), jnp.inf))
 
     sentinel = jnp.asarray(1e4, lx0.dtype)
     s_out = jnp.where(any_valid, ls0[first] + s_loc[first], sentinel)

@@ -1,83 +1,11 @@
 #!/usr/bin/env python
-"""Benchmark suite over the BASELINE.json configurations.
-
-Prints one JSON line per configuration (bench.py stays the single-line
-headline benchmark). Run on the TPU (default) or --cpu.
-
-    python scripts/bench_suite.py [--quick]
-"""
-
-import argparse
-import json
+"""Forwarder: real implementation lives in colaborativempc_tpu.scripts.bench_suite."""
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from _common import setup_backend  # noqa: E402
-setup_backend()
 
-import numpy as np
-
-
-def timeit(fn, *args, reps=10):
-    import jax
-    out = jax.block_until_ready(fn(*args))   # compile
-    t0 = time.time()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / reps, out
-
-
-def fleet_bench(name, n_agents, N, B, steps_warm=3, admm_iters=300,
-                map_type="Highway"):
-    import jax
-    import jax.numpy as jnp
-    from colaborativempc_tpu.config import (
-        ExperimentConfig, lpv_gains, SolverConfig,
-    )
-    from colaborativempc_tpu.geometry import make_track
-    from colaborativempc_tpu.runtime import init_lpv_fleet
-    from colaborativempc_tpu.runtime.simulate import make_lpv_fleet_step
-    from colaborativempc_tpu.parallel import batch_fleet_state
-
-    cfg = ExperimentConfig(
-        n_agents=n_agents, N=N, dt=0.02, map_type=map_type,
-        gains=lpv_gains(), solver=SolverConfig(admm_iters=admm_iters))
-    track = make_track(cfg.map_type)
-    state = batch_fleet_state(init_lpv_fleet(track, cfg), B)
-    rng = np.random.default_rng(0)
-    state = state._replace(x0=state.x0 + jnp.asarray(
-        rng.normal(size=state.x0.shape) * 0.02, state.x0.dtype))
-    step = jax.jit(jax.vmap(make_lpv_fleet_step(track, cfg)))
-    for _ in range(steps_warm):          # reach warm-started steady state
-        state, _ = step(state)
-    dt_step, (state, metrics) = timeit(lambda s: step(s), state)
-    solves = B * n_agents / dt_step
-    print(json.dumps({
-        "config": name, "agents": n_agents, "N": N, "batch": B,
-        "ms_per_step": round(dt_step * 1e3, 2),
-        "solves_per_sec": round(solves, 1),
-        "feasible": bool(np.asarray(metrics.feasible).all()),
-    }), flush=True)
-
-
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true")
-    args = ap.parse_args()
-
-    # BASELINE.json configs, scaled to one chip
-    fleet_bench("1-agent LPV H=10 oval", 1, 10, 256, map_type="oval")
-    fleet_bench("1-agent H=20 constrained warm", 1, 20, 256)
-    fleet_bench("2-agent collaborative", 2, 20, 128)
-    fleet_bench("8-agent shared lane", 8, 20, 32)
-    if not args.quick:
-        fleet_bench("16 agents x 64 scenarios (monte-carlo)", 16, 20, 64)
-        fleet_bench("3-agent long horizon N=125", 3, 125, 64,
-                    admm_iters=600)
-
+from colaborativempc_tpu.scripts.bench_suite import main
 
 if __name__ == "__main__":
     main()

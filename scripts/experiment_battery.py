@@ -1,51 +1,11 @@
 #!/usr/bin/env python
-"""Gain-grid sweep as a vmapped batch (reference
-``planner/scripts/experiment_battery.py``, which runs the grid serially).
-
-    python scripts/experiment_battery.py [--steps 80]
-"""
-
-import argparse
+"""Forwarder: real implementation lives in colaborativempc_tpu.scripts.experiment_battery."""
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from _common import setup_backend  # noqa: E402
-setup_backend()
 
-import numpy as np
-
-
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=80)
-    ap.add_argument("--agents", type=int, default=3)
-    ap.add_argument("--N", type=int, default=20)
-    ap.add_argument("--map", default="Highway")
-    args = ap.parse_args()
-
-    from colaborativempc_tpu.config import (
-        ExperimentConfig, lpv_gains, SolverConfig,
-    )
-    from colaborativempc_tpu.runtime import gain_grid, run_lpv_battery
-
-    cfg = ExperimentConfig(
-        n_agents=args.agents, N=args.N, dt=0.025, map_type=args.map,
-        gains=lpv_gains(), solver=SolverConfig(admm_iters=300))
-    grid = gain_grid(lpv_gains(),
-                     q_vx=[5.0, 10.0, 25.0],
-                     q_ey=[25.0, 100.0],
-                     dr_scale=[0.5, 1.0, 2.0])
-    print(f"sweeping {len(grid)} gain combinations x {args.steps} steps "
-          f"in one vmapped batch")
-    res = run_lpv_battery(cfg, grid, steps=args.steps)
-    ok = res.feasible.all(axis=(0, 2))
-    for i, g in enumerate(grid):
-        print(f"cfg {i:2d}: qvx={float(g.q[0]):6.1f} qey={float(g.q[3]):6.1f}"
-              f" dr0={float(g.dr[0]):6.1f} -> progress={res.progress[i]:.2f}m"
-              f" min_dist={res.min_dist_exec[:, i].min():.3f}"
-              f" feasible={bool(ok[i])}")
-
+from colaborativempc_tpu.scripts.experiment_battery import main
 
 if __name__ == "__main__":
     main()
