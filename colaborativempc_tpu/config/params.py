@@ -106,6 +106,15 @@ class OCDConfig(NamedTuple):
     # then numerically diverge the mh-gains course at ~280 steps. 0.0 is the
     # correct projected update; set to -inf for raw reference semantics.
     lambda_lo: float = 0.0
+    # Coordination sweep order. "jacobi": all agents solve simultaneously
+    # against the previous iteration's plans (one vmapped batch — the
+    # reference's standalone loop, NL_EU_N_main.py:110-120). "gauss_seidel":
+    # agents solve in id order within an iteration, each against the
+    # FRESHEST available neighbour plans — the deterministic counterpart of
+    # the reference ROS mode's solve-as-soon-as-neighbours-updated
+    # asynchrony (OCD_ROS_main.py:178-241); typically converges in fewer
+    # OCD iterations at the cost of serialising agents within an iteration.
+    sweep: str = "jacobi"
 
 
 class SolverConfig(NamedTuple):
@@ -119,6 +128,14 @@ class SolverConfig(NamedTuple):
     line_search: float = 0.7    # SQP solution blending (C++ MPCC sqp_mixing)
     u_trust_delta: float = 0.06  # SQP trust region on steering
     u_trust_acc: float = 0.6     # SQP trust region on acceleration
+    # Route each ADMM refactorisation epoch through the in-VMEM Pallas
+    # kernel (ops/pallas_lqr.py) when the shape fits the VMEM bound; the
+    # XLA scan path is the fallback. Off by default: the tunnelled-TPU dev
+    # backend cannot execute pallas_call (CLAUDE.md) — flip on for
+    # direct-attached chips. pallas_interpret forces the interpreter
+    # (CPU tests / validation).
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -135,6 +152,12 @@ class ExperimentConfig:
     max_it: int = 1000           # outer control-step cap
     map_type: str = "Highway"
     lane: int = 0                # track lane (multi-lane tracks: Oval2, ...)
+    # Per-step dynamic lane selection (reference set_lane/checkLane,
+    # track_initialization.py:302,418-436): each agent re-localises its pose
+    # against every lane each control step and the planner's curvature/
+    # half-width/constraint tables follow the winning lane. Off: the static
+    # `lane` above is used fleet-wide.
+    dynamic_lane: bool = False
     model: ModelParams = ModelParams()
     limits: SysLimits = SysLimits()
     gains: Optional[Gains] = None

@@ -2,6 +2,7 @@ from colaborativempc_tpu.geometry.tracks import Track, make_track, TRACK_NAMES
 from colaborativempc_tpu.geometry.frenet import (
     wrap_s, check_lap, segment_index, curvature, halfwidth,
     frenet_to_cartesian, cartesian_to_frenet, check_lane, check_end,
+    relocalize, select_lane,
     wrap_to_pi,
 )
 from colaborativempc_tpu.geometry.planes import (

@@ -193,6 +193,36 @@ def check_lane(track: Track, x, y, psi):
     return s[best], ey[best], epsi[best], valid[best], best
 
 
+def relocalize(track: Track, x: jnp.ndarray, lane) -> jnp.ndarray:
+    """Recompute one 9-state vehicle's Frenet entries (ey, epsi, s) from its
+    pose (X, Y, theta) against the given lane, preserving lap continuity:
+    the new s keeps the multiple of the lane length closest to the old s
+    (reference ``set_lane`` re-runs getLocalPosition on the new lane,
+    ``track_initialization.py:302``). An out-of-lane pose keeps the old
+    Frenet entries (the localisation sentinel must not poison the state).
+    """
+    s_loc, ey, epsi, valid = cartesian_to_frenet(track, x[7], x[8], x[5],
+                                                 lane=lane)
+    L = track.track_length[lane]
+    k = jnp.round((x[6] - s_loc) / L)
+    s_new = k * L + s_loc
+    x = x.at[3].set(jnp.where(valid, ey, x[3]))
+    x = x.at[4].set(jnp.where(valid, epsi, x[4]))
+    x = x.at[6].set(jnp.where(valid, s_new, x[6]))
+    return x
+
+
+def select_lane(track: Track, x: jnp.ndarray):
+    """Dynamic lane selection for one 9-state vehicle: localise the pose
+    against every lane, pick the best (min |ey|) one, and relocalise the
+    Frenet entries onto it — the per-step ``checkLane``/``set_lane`` switch
+    of the reference (``track_initialization.py:302,418-436``).
+    Returns ``(lane, x')``; jit/vmap-safe (lane is a traced int index into
+    the lane-major track tables)."""
+    _, ey, _, _, lane = check_lane(track, x[7], x[8], x[5])
+    return lane, relocalize(track, x, lane)
+
+
 def check_end(track: Track, s, laps: int = 1, lane: int = 0, atol: float = 0.15):
     """True when an agent has completed ``laps`` laps.
 

@@ -190,6 +190,30 @@ def admm_epoch_inputs(qp: StageQP, rho: float = 10.0,
         fac_lo=fac_lo, fac_hi=fac_hi)
 
 
+def pallas_vmem_bytes(N: int, nz: int, nc: int, mr: int,
+                      dtype_bytes: int = 4) -> int:
+    """Approximate VMEM footprint of one Pallas ADMM-epoch batch block
+    (``ops/pallas_lqr.py admm_epoch_batched``): all per-stage epoch data +
+    iterate buffers live in VMEM for the whole epoch, 128 lanes wide."""
+    lanes = 128
+    per_stage = (nz * nz + 2 * nz * nc + 2 * nz + nc * nz + nc * nc
+                 + 2 * nc + mr * nz + mr * nc + 7 * mr    # inputs
+                 + nz + nc + 2 * mr                       # z/c/w/y outs
+                 + nc)                                    # kff scratch
+    return (N * per_stage + 2 * nz + 2 * mr) * lanes * dtype_bytes
+
+
+# Conservative dispatch bound: v5e/v4 cores have 128 MiB of VMEM but Mosaic
+# needs headroom for spills/double-buffering; stay well under.
+PALLAS_VMEM_BOUND = 96 * 1024 * 1024
+
+
+def pallas_epoch_supported(N: int, nz: int, nc: int, mr: int) -> bool:
+    """Shape gate for the in-VMEM ADMM epoch kernel (bicycle-model sizes
+    fit up to N ~= 48; beyond that the XLA scan path takes over)."""
+    return pallas_vmem_bytes(N, nz, nc, mr) <= PALLAS_VMEM_BOUND
+
+
 def admm_solve(qp: StageQP, z0: jnp.ndarray,
                w0: Optional[jnp.ndarray] = None,
                y0: Optional[jnp.ndarray] = None,
@@ -199,16 +223,42 @@ def admm_solve(qp: StageQP, z0: jnp.ndarray,
                rho_scale0: float = 1.0,
                max_rho_scale: float = 1e6,
                feas_tol: float = 1e-2,
-               assoc: bool = False) -> ADMMSolution:
+               assoc: bool = False,
+               use_pallas: bool = False,
+               pallas_interpret: bool = False,
+               unroll: Optional[int] = None) -> ADMMSolution:
     """Solve the stage QP with warm-startable (w0, y0, rho_scale0).
 
     ``assoc`` switches the inner affine solves to the parallel-in-horizon
     associative-scan path (log-depth; pays ~3x FLOPs) — wins at long
     horizons / small batches where the sequential scan is latency-bound.
+
+    ``use_pallas`` runs each refactorisation epoch through the in-VMEM
+    Pallas kernel (``ops/pallas_lqr.py admm_epoch_batched``) when the
+    problem shape fits the VMEM bound (:func:`pallas_epoch_supported`),
+    falling back to the XLA scan otherwise. The inter-epoch adaptive-rho
+    rescale and the convergence loop are identical on both paths.
+    ``pallas_interpret`` forces the kernel's interpreter mode (CPU tests;
+    also the tunnelled-TPU environments where ``pallas_call`` cannot
+    execute — see CLAUDE.md).
+
+    ``unroll`` unrolls the sequential Riccati stage scans (ops/lqr.py):
+    at long horizons the per-stage matvecs are smaller than the scan-step
+    overhead, so unrolling packs several stages per loop step. Default:
+    auto (4 beyond N=48, else 1 — short horizons gain nothing and pay
+    compile time).
     """
-    affine = lqr_affine_solve_assoc if assoc else lqr_affine_solve
     N, m = qp.lo.shape
+    if unroll is None:
+        unroll = 4 if N >= 48 else 1
+    if assoc:
+        affine = lqr_affine_solve_assoc
+    else:
+        affine = partial(lqr_affine_solve, unroll=unroll)
     dtype = z0.dtype
+    nz_ = qp.dyn.F.shape[-1]
+    nc_ = qp.dyn.G.shape[-1]
+    use_pallas = use_pallas and pallas_epoch_supported(N, nz_, nc_, m)
 
     if w0 is None:
         w0 = jnp.clip(jnp.zeros((N, m), dtype), qp.lo, qp.hi)
@@ -232,10 +282,37 @@ def admm_solve(qp: StageQP, z0: jnp.ndarray,
     # iters rounds DOWN to whole epochs so the stated budget is a hard cap
     n_epochs = max(1, iters // epoch_len)
 
+    def rho_rescale(state, z, c, w, y, r_prim, r_dual):
+        # OSQP-style per-class rescale, bounded; rescale the scaled dual
+        # accordingly. Classes already inside tolerance keep their rho
+        # (rebalancing a converged class would only perturb it).
+        ratio = jnp.sqrt(r_prim / jnp.maximum(r_dual, 1e-12))
+        ratio = jnp.clip(ratio, 0.2, 10.0)
+        new_scale = jnp.clip(state.rho_scale * ratio, 1e-3, max_rho_scale)
+        quiet = (r_prim < eps) & (r_dual < eps)
+        new_scale = jnp.where(quiet, state.rho_scale, new_scale)
+        y = y * (state.rho_scale / new_scale)[None, :]
+        return _EpochState(z=z, c=c, w=w, y=y, rho_scale=new_scale,
+                           it=state.it + epoch_len,
+                           r_prim=r_prim, r_dual=r_dual)
+
+    def epoch_pallas(state: _EpochState) -> _EpochState:
+        # one refactorisation + a full in-VMEM epoch on the TPU VPU; the
+        # iteration semantics are shared with the XLA path through
+        # admm_epoch_inputs / ADMMEpochData
+        from colaborativempc_tpu.ops.pallas_lqr import admm_epoch_batched
+        data = admm_epoch_inputs(qp, rho, state.rho_scale, reg)
+        one = lambda a: a[None]  # noqa: E731 - singleton batch block
+        z, c, w, y, r_prim, r_dual = admm_epoch_batched(
+            jax.tree.map(one, data), one(z0), one(state.w), one(state.y),
+            epoch_len=epoch_len, alpha=alpha, interpret=pallas_interpret)
+        return rho_rescale(state, z[0], c[0], w[0], y[0],
+                           r_prim[0], r_dual[0])
+
     def epoch(state: _EpochState) -> _EpochState:
         rv = base_rv * state.rho_scale[None, :]
         aug_cost = build_admm_cost(qp, rv)
-        fac = lqr_factorize(qp.dyn, aug_cost, reg)
+        fac = lqr_factorize(qp.dyn, aug_cost, reg, unroll=unroll)
 
         rv_safe = jnp.where(rv > 0, rv, 1.0)
         fac_lo = jnp.where(jnp.isinf(slo), 0.0,
@@ -276,20 +353,7 @@ def admm_solve(qp: StageQP, z0: jnp.ndarray,
             length=epoch_len)
         z = zc[0][-1]
         c = zc[1][-1]
-
-        # OSQP-style per-class rescale, bounded; rescale the scaled dual
-        # accordingly. Classes already inside tolerance keep their rho
-        # (rebalancing a converged class would only perturb it).
-        ratio = jnp.sqrt(r_prim / jnp.maximum(r_dual, 1e-12))
-        ratio = jnp.clip(ratio, 0.2, 10.0)
-        new_scale = jnp.clip(state.rho_scale * ratio, 1e-3, max_rho_scale)
-        quiet = (r_prim < eps) & (r_dual < eps)
-        new_scale = jnp.where(quiet, state.rho_scale, new_scale)
-        y = y * (state.rho_scale / new_scale)[None, :]
-
-        return _EpochState(z=z, c=c, w=w, y=y, rho_scale=new_scale,
-                           it=state.it + epoch_len,
-                           r_prim=r_prim, r_dual=r_dual)
+        return rho_rescale(state, z, c, w, y, r_prim, r_dual)
 
     def cond(state: _EpochState):
         not_conv = ((jnp.max(state.r_prim) > eps)
@@ -310,7 +374,8 @@ def admm_solve(qp: StageQP, z0: jnp.ndarray,
                    + tie),
         it=jnp.asarray(0), r_prim=big, r_dual=big)
 
-    out = jax.lax.while_loop(cond, epoch, init)
+    out = jax.lax.while_loop(cond, epoch_pallas if use_pallas else epoch,
+                             init)
     r_prim = jnp.max(out.r_prim)
     return ADMMSolution(z=out.z, c=out.c, w=out.w, y=out.y,
                         rho_scale=out.rho_scale,

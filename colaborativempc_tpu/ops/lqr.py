@@ -69,8 +69,14 @@ def _sym(M):
 
 
 def lqr_factorize(dyn: LQRDynamics, cost: LQRCost,
-                  reg: float = 1e-8) -> LQRFactors:
-    """Backward Riccati pass over the quadratic terms only."""
+                  reg: float = 1e-8, unroll: int = 1) -> LQRFactors:
+    """Backward Riccati pass over the quadratic terms only.
+
+    ``unroll`` unrolls the stage scan: at long horizons the per-stage work
+    (11x11 matvecs) is far smaller than the loop-step overhead, so the
+    sequential sweep is latency-bound, not FLOP-bound — unrolling packs
+    several stages into one loop step (~2x at N=125 on v5e, BENCH.md).
+    """
     nz = dyn.F.shape[-1]
 
     def backward(P, inp):
@@ -89,17 +95,20 @@ def lqr_factorize(dyn: LQRDynamics, cost: LQRCost,
 
     P_N = cost.Q[-1]
     inputs = (dyn.F, dyn.G, cost.Q[:-1], cost.R, cost.S, dyn.d)
-    P0, (K, L, Qxu, m) = jax.lax.scan(backward, P_N, inputs, reverse=True)
+    P0, (K, L, Qxu, m) = jax.lax.scan(backward, P_N, inputs, reverse=True,
+                                      unroll=unroll)
     Acl = dyn.F + _mm(dyn.G, K)
     return LQRFactors(K=K, Quu_chol=L, Qxu=Qxu, m=m, P0=P0, Acl=Acl)
 
 
 def lqr_affine_solve(dyn: LQRDynamics, fac: LQRFactors,
-                     q: jnp.ndarray, r: jnp.ndarray, z0: jnp.ndarray):
+                     q: jnp.ndarray, r: jnp.ndarray, z0: jnp.ndarray,
+                     unroll: int = 1):
     """Solve for the optimal trajectory given (possibly new) linear terms.
 
     Args:
       q: (N+1, nz) linear state cost; r: (N, nc) linear control cost.
+      unroll: stage-scan unroll factor (see lqr_factorize).
     Returns:
       z: (N+1, nz), c: (N, nc).
     """
@@ -114,7 +123,8 @@ def lqr_affine_solve(dyn: LQRDynamics, fac: LQRFactors,
 
     inputs = (dyn.F, dyn.G, fac.K, fac.Quu_chol, fac.Qxu, fac.m,
               q[:-1], r)
-    _, kff = jax.lax.scan(backward, q[-1], inputs, reverse=True)
+    _, kff = jax.lax.scan(backward, q[-1], inputs, reverse=True,
+                          unroll=unroll)
 
     def forward(z, inp):
         F, G, d, K, kffk = inp
@@ -123,7 +133,8 @@ def lqr_affine_solve(dyn: LQRDynamics, fac: LQRFactors,
         return z_next, (z, c)
 
     zN, (z, c) = jax.lax.scan(forward, z0,
-                              (dyn.F, dyn.G, dyn.d, fac.K, kff))
+                              (dyn.F, dyn.G, dyn.d, fac.K, kff),
+                              unroll=unroll)
     z_full = jnp.concatenate([z, zN[None]], axis=0)
     return z_full, c
 

@@ -52,7 +52,9 @@ def make_sharded_lpv_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
             w0=w, y0=y, rho_scale0=rho_scale,
             admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
             alpha_relax=cfg.solver.alpha_relax,
-            eps=cfg.solver.eps, lane=cfg.lane)
+            eps=cfg.solver.eps, lane=cfg.lane,
+            use_pallas=cfg.solver.use_pallas,
+            pallas_interpret=cfg.solver.pallas_interpret)
 
     def local_step(state: FleetState):
         # local shapes: (S_l, A_l, ...)

@@ -14,6 +14,8 @@ synchronous collective semantics of the mesh.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -23,10 +25,34 @@ from colaborativempc_tpu.config.params import ExperimentConfig, nl_gains
 from colaborativempc_tpu.geometry import Track
 from colaborativempc_tpu.planners.nl import nl_solve, NLSolution
 from colaborativempc_tpu.runtime.ocd import (
-    OCDFleetState, OCDStepMetrics, _OCDLoopState, _dual_step,
+    OCDFleetState, OCDStepMetrics, _dual_step,
     _contain_nonfinite, _bisector_planes,
 )
 from colaborativempc_tpu.runtime.simulate import _per_agent_limits
+
+
+class _ShardedLoopState(NamedTuple):
+    """Sharded-OCD while_loop carry: like runtime.ocd._OCDLoopState but with
+    PER-SCENARIO convergence bookkeeping (it_ocd / conv_count / finished are
+    (S_local,) arrays) plus a replicated all-done scalar the loop condition
+    reads — reference semantics converge PER RUN (NL_EU_N_main.py:141-162),
+    so a batched run must not keep iterating a scenario that already
+    converged just because a slower one shares the batch."""
+    x_pred: jnp.ndarray
+    u_pred: jnp.ndarray
+    x_old: jnp.ndarray
+    lambdas: jnp.ndarray
+    alpha: jnp.ndarray
+    g_prev: jnp.ndarray
+    planes: jnp.ndarray
+    w: jnp.ndarray
+    y: jnp.ndarray
+    rho_scale: jnp.ndarray
+    it_ocd: jnp.ndarray      # (S_l,) int32
+    conv_count: jnp.ndarray  # (S_l,) int32
+    finished: jnp.ndarray    # (S_l,) bool
+    feasible: jnp.ndarray    # (S_l, A_l, ...) bool
+    all_done: jnp.ndarray    # () int32, replicated over the mesh
 
 
 def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
@@ -42,6 +68,12 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
     n_ag = cfg.n_agents
     N = cfg.N
     ocd = cfg.ocd
+    if ocd.sweep == "gauss_seidel":
+        raise ValueError(
+            "ocd.sweep='gauss_seidel' serialises agents within an iteration "
+            "and is incompatible with the agent-sharded mesh step (agents "
+            "are parallel shards); use the single-program runtime.ocd path "
+            "or sweep='jacobi'.")
     limits_pa = _per_agent_limits(cfg)
 
     def one_agent(limits, x0, x_bar, u_bar, u_old, lam_i, neigh_xy, mmask,
@@ -55,7 +87,9 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
             coupling=cfg.coupling, lane=cfg.lane,
             admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
             alpha_relax=cfg.solver.alpha_relax, eps=cfg.solver.eps,
-            planes0=pl)
+            planes0=pl,
+            use_pallas=cfg.solver.use_pallas,
+            pallas_interpret=cfg.solver.pallas_interpret)
 
     # static neighbour-id table: nbs[i] = the ids every agent i solves
     # against, in its local ordering (matches the rolled gather below)
@@ -69,7 +103,7 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
         gids = a_idx * A_l + jnp.arange(A_l)          # global agent ids
         ids = jnp.arange(n_ag)
 
-        def ocd_iteration(st: _OCDLoopState) -> _OCDLoopState:
+        def ocd_iteration(st: _ShardedLoopState) -> _ShardedLoopState:
             # exchange over ICI
             all_xy = jax.lax.all_gather(
                 st.x_pred[:, :, :, 7:9], agent_axis, axis=1,
@@ -134,26 +168,51 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
             alpha = jax.lax.pmean(alpha, agent_axis)
             g = jax.lax.pmean(g, agent_axis)
 
-            # convergence: max over scenarios AND agents (pmax over mesh)
-            delta = jnp.max(jnp.abs(st.x_pred - x_new))
-            delta = jax.lax.pmax(jax.lax.pmax(delta, agent_axis), scen_axis)
+            # convergence PER SCENARIO: max over this scenario's agents only
+            # (pmax over the agent axis; the scenario axis stays resolved)
+            delta = jnp.max(jnp.abs(st.x_pred - x_new), axis=(1, 2, 3))
+            delta = jax.lax.pmax(delta, agent_axis)       # (S_l,)
             conv = delta < ocd.atol
             conv_count = jnp.where(conv, st.conv_count + 1, 0)
             finished = ((conv_count > ocd.it_conv)
                         | (st.it_ocd >= ocd.max_it_ocd))
-            return _OCDLoopState(
+
+            new_fields = dict(
                 x_pred=x_new, u_pred=u_new, x_old=st.x_pred,
                 lambdas=lambdas, alpha=alpha, g_prev=g, planes=planes,
                 w=w_new, y=y_new, rho_scale=rs_new,
                 it_ocd=st.it_ocd + 1, conv_count=conv_count,
                 finished=finished, feasible=feas)
+            # Freeze converged scenarios: once a scenario's single-fleet
+            # stop predicate holds, its x/u/duals/planes and iteration
+            # counters stay put while slower batch-mates keep iterating —
+            # batched results equal per-scenario runs, and converged
+            # scenarios no longer burn solver iterations' worth of updates
+            # (their lanes still ride the collectives, unchanged).
+            stop = (st.it_ocd > ocd.min_it_ocd) & st.finished   # (S_l,)
 
-        # feasible is per-(scenario, agent) and varying; tie its init to the
-        # data so the while_loop carry types match
+            def keep(old, new):
+                shp = stop.shape + (1,) * (new.ndim - 1)
+                return jnp.where(stop.reshape(shp), old, new)
+
+            merged = {k: keep(getattr(st, k), v)
+                      for k, v in new_fields.items()}
+            stop_next = ((merged["it_ocd"] > ocd.min_it_ocd)
+                         & merged["finished"])
+            all_done = jax.lax.pmin(
+                jnp.all(stop_next).astype(jnp.int32), scen_axis)
+            return _ShardedLoopState(all_done=all_done, **merged)
+
+        # feasible is per-(scenario, agent) and varying; tie inits to the
+        # data so the while_loop carry types match. Per-scenario counters
+        # vary over scen but are replicated over agents (the body derives
+        # them from an agent-axis pmax), so tie them through a pmax too.
         feas0 = jnp.sum(state.x0 * 0.0, axis=-1) == 0.0
+        zscen = jax.lax.pmax(
+            jnp.sum(state.x0 * 0.0, axis=(1, 2)), agent_axis)  # (S_l,)
         all_xy0 = jax.lax.all_gather(
             state.x_pred, agent_axis, axis=1, tiled=True)
-        loop0 = _OCDLoopState(
+        loop0 = _ShardedLoopState(
             x_pred=state.x_pred, u_pred=state.u_pred, x_old=state.x_pred,
             lambdas=state.lambdas,
             alpha=jnp.full_like(state.lambdas, ocd.alpha),
@@ -162,12 +221,14 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
                 jax.vmap(_bisector_planes)(all_xy0), agent_axis),
             w=state.w, y=state.y,
             rho_scale=state.rho_scale,
-            it_ocd=jnp.asarray(0), conv_count=jnp.asarray(0),
-            finished=jnp.asarray(False),
-            feasible=feas0)
+            it_ocd=zscen.astype(jnp.int32),
+            conv_count=zscen.astype(jnp.int32),
+            finished=zscen != 0.0,
+            feasible=feas0,
+            all_done=jnp.asarray(0, jnp.int32))
 
         def cond(st):
-            return ~((st.it_ocd > ocd.min_it_ocd) & st.finished)
+            return st.all_done == 0
 
         out = jax.lax.while_loop(cond, ocd_iteration, loop0)
 
@@ -195,10 +256,8 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
         pdist = pdist + jnp.eye(n_ag)[None, :, :, None] * 1e9
         min_pd = jax.lax.pmin(jnp.min(pdist, axis=(1, 2, 3)), agent_axis)
 
-        it_out = out.it_ocd + jnp.zeros(
-            state.x0.shape[0], out.it_ocd.dtype)  # per-scenario broadcast
         metrics = OCDStepMetrics(
-            ocd_iterations=it_out,
+            ocd_iterations=out.it_ocd,  # true per-scenario counts
             feasible=out.feasible,
             min_dist=min_pd, min_dist_exec=min_de,
             lambda_max=jax.lax.pmax(
@@ -223,14 +282,11 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
     return jax.jit(sharded)
 
 
-def shard_ocd_state(state: OCDFleetState, n_scen: int, mesh: Mesh,
+def place_ocd_batch(batched: OCDFleetState, mesh: Mesh,
                     scen_axis: str = "scen",
                     agent_axis: str = "agent") -> OCDFleetState:
-    """Tile an OCDFleetState into a scenario batch and place it on the mesh."""
-    def tile(x):
-        return jnp.broadcast_to(x[None], (n_scen,) + x.shape).copy()
-    batched = jax.tree.map(tile, state)
-
+    """Place an already-batched (leading scenario axis) OCDFleetState on the
+    mesh with the sharded-OCD partition specs."""
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
     specs = OCDFleetState(
@@ -240,3 +296,13 @@ def shard_ocd_state(state: OCDFleetState, n_scen: int, mesh: Mesh,
         w=P(scen_axis, agent_axis), y=P(scen_axis, agent_axis),
         rho_scale=P(scen_axis, agent_axis))
     return jax.tree.map(put, batched, specs)
+
+
+def shard_ocd_state(state: OCDFleetState, n_scen: int, mesh: Mesh,
+                    scen_axis: str = "scen",
+                    agent_axis: str = "agent") -> OCDFleetState:
+    """Tile an OCDFleetState into a scenario batch and place it on the mesh."""
+    def tile(x):
+        return jnp.broadcast_to(x[None], (n_scen,) + x.shape).copy()
+    return place_ocd_batch(jax.tree.map(tile, state), mesh,
+                           scen_axis, agent_axis)

@@ -197,7 +197,9 @@ def lpv_solve(track: Track, gains: Gains, limits: SysLimits,
               w0=None, y0=None, rho_scale0=1.0,
               admm_iters: int = 100, rho: float = 10.0,
               alpha_relax: float = 1.6,
-              eps: float = 1e-4, lane: int = 0) -> LPVSolution:
+              eps: float = 1e-4, lane: int = 0,
+              use_pallas: bool = False,
+              pallas_interpret: bool = False) -> LPVSolution:
     """One LPV-MPC solve (the reference ``PlannerLPV.solve``, :115-182).
 
     Args:
@@ -230,7 +232,9 @@ def lpv_solve(track: Track, gains: Gains, limits: SysLimits,
                                    rho_scale0=rho_scale0,
                                    iters=admm_iters, rho=rho,
                                    alpha=alpha_relax, eps=eps,
-                                   epoch_len=10)
+                                   epoch_len=10,
+                                   use_pallas=use_pallas,
+                                   pallas_interpret=pallas_interpret)
 
     x_pred = sol.z[:, :NX]
     u_pred = sol.z[1:, NX:]

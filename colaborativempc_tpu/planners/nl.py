@@ -339,7 +339,9 @@ def nl_solve(track: Track, gains: Gains, limits: SysLimits,
              admm_iters: int = 100, rho: float = 10.0,
              alpha_relax: float = 1.6,
              eps: float = 1e-4,
-             planes0: Optional[jnp.ndarray] = None) -> NLSolution:
+             planes0: Optional[jnp.ndarray] = None,
+             use_pallas: bool = False,
+             pallas_interpret: bool = False) -> NLSolution:
     """One nonlinear OCD sub-problem solve (reference PlannerEu.solve).
 
     SQP: linearise -> stage QP -> ADMM, ``sqp_iters`` times, with convex
@@ -366,7 +368,8 @@ def nl_solve(track: Track, gains: Gains, limits: SysLimits,
                          planes0=pl)
         sol = admm_solve(qp, z0, w0=w, y0=y, rho_scale0=rs,
                          iters=admm_iters, rho=rho, alpha=alpha_relax,
-                         eps=eps, epoch_len=10)
+                         eps=eps, epoch_len=10, use_pallas=use_pallas,
+                         pallas_interpret=pallas_interpret)
         x_new = sol.z[:, :NX]
         u_new = sol.z[1:, NX:]
         x_mix = sqp_mix * x_new + (1.0 - sqp_mix) * x_lin

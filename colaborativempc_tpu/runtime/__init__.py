@@ -13,4 +13,5 @@ from colaborativempc_tpu.runtime.io import (
 )
 from colaborativempc_tpu.runtime.battery import (
     gain_grid, run_lpv_battery, BatteryResult,
+    run_nl_battery, NLBatteryResult,
 )

@@ -74,7 +74,9 @@ def run_lpv_battery(cfg: ExperimentConfig, grid: Sequence[Gains],
             w0=w, y0=y, rho_scale0=rs,
             admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
             alpha_relax=cfg.solver.alpha_relax,
-            eps=cfg.solver.eps, lane=cfg.lane)
+            eps=cfg.solver.eps, lane=cfg.lane,
+            use_pallas=cfg.solver.use_pallas,
+            pallas_interpret=cfg.solver.pallas_interpret)
 
     def fleet_step(gains, state: FleetState):
         agents_xy = jnp.swapaxes(state.x_pred[:, :, 7:9], 0, 1)
@@ -116,5 +118,57 @@ def run_lpv_battery(cfg: ExperimentConfig, grid: Sequence[Gains],
         states=states_h,
         min_dist_exec=np.asarray(dist_h),
         feasible=np.asarray(feas_h),
+        progress=states_h[-1, :, :, 6].mean(axis=-1),
+        n_configs=n_cfg)
+
+
+class NLBatteryResult(NamedTuple):
+    states: np.ndarray          # (T, n_cfg, n_agents, 9)
+    min_dist: np.ndarray        # (T, n_cfg) min predicted pairwise distance
+    min_dist_exec: np.ndarray   # (T, n_cfg)
+    feasible: np.ndarray        # (T, n_cfg, n_agents)
+    ocd_iterations: np.ndarray  # (T, n_cfg) per-step OCD depth per config
+    progress: np.ndarray        # (n_cfg,) final mean s per config
+    n_configs: int
+
+
+def run_nl_battery(cfg: ExperimentConfig, grid: Sequence[Gains],
+                   steps: int, track: Track | None = None,
+                   x0s=None) -> NLBatteryResult:
+    """NL-OCD battery: every gain combination advances its full coordination
+    loop in lock-step as one vmapped device program.
+
+    The reference sweeps the NL pipeline serially, one full experiment per
+    combination (``experiment_battery.py:15-38`` re-invoking
+    ``NL_EU_N_main.main``); here the gain axis is a batch axis of the
+    scanned OCD rollout. Per-lane convergence freezing (runtime/ocd.py
+    ocd_iteration) keeps each config's trajectory and OCD-iteration counts
+    identical to a standalone run even though lanes share the while_loop.
+    Horizon (N) sweeps change array shapes and stay an outer host loop.
+    """
+    from colaborativempc_tpu.runtime.ocd import (
+        init_nl_fleet, make_nl_ocd_rollout_gains,
+    )
+    if track is None:
+        track = make_track(cfg.map_type)
+    n_cfg = len(grid)
+    gains_batch = jax.tree.map(lambda *xs: jnp.stack(
+        [jnp.asarray(x, jnp.float32) for x in xs]), *grid)
+
+    rollout = make_nl_ocd_rollout_gains(track, cfg, steps)
+    sweep = jax.jit(jax.vmap(rollout, in_axes=(0, 0)))
+
+    state = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (n_cfg,) + x.shape).copy(),
+        init_nl_fleet(track, cfg, x0s))
+
+    _, (x0_h, _, m) = sweep(gains_batch, state)
+    states_h = np.moveaxis(np.asarray(x0_h), 0, 1)      # (T, n_cfg, n_ag, 9)
+    return NLBatteryResult(
+        states=states_h,
+        min_dist=np.moveaxis(np.asarray(m.min_dist), 0, 1),
+        min_dist_exec=np.moveaxis(np.asarray(m.min_dist_exec), 0, 1),
+        feasible=np.moveaxis(np.asarray(m.feasible), 0, 1),
+        ocd_iterations=np.moveaxis(np.asarray(m.ocd_iterations), 0, 1),
         progress=states_h[-1, :, :, 6].mean(axis=-1),
         n_configs=n_cfg)

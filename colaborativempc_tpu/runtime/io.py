@@ -115,25 +115,29 @@ class ExperimentIO:
                 np.savetxt(os.path.join(d, "OCD_it.dat"),
                            np.asarray(self.ocd_iters), fmt="%.5e",
                            delimiter=" ")
-                # per-iteration time table (base_class.py time_OCD)
+                # per-iteration time table (base_class.py time_OCD).
+                # time_OCD.dat carries ONLY measured rows (instrumented
+                # verb_ocd runs). On the fast path the whole OCD loop is a
+                # single device dispatch, so no per-iteration wall times
+                # exist; synthesizing uniform rows would be indistinguishable
+                # from real data to downstream consumers of the reference
+                # schema — instead the fast path emits time_OCD_mean.dat
+                # (per-step wall time / iteration count), explicitly named
+                # as a derived quantity.
                 if self.ocd_iter_times:
                     # true per-iteration rows (instrumented verb_ocd runs)
                     lim = max(len(r) for r in self.ocd_iter_times)
                     tab = np.zeros((len(self.ocd_iter_times), lim))
                     for i, row in enumerate(self.ocd_iter_times):
                         tab[i, :len(row)] = row
+                    np.savetxt(os.path.join(d, "time_OCD.dat"), tab,
+                               fmt="%.5e", delimiter=" ")
                 else:
-                    # the whole OCD loop is one device dispatch on the fast
-                    # path, so per-iteration rows are the per-step mean
-                    its = np.asarray(self.ocd_iters)
+                    its = np.asarray(self.ocd_iters, dtype=float)
                     times = np.asarray(self.step_times)[: len(its)]
-                    lim = max(int(its.max()), 1)
-                    tab = np.zeros((len(its), lim))
-                    for i, (n_it, t) in enumerate(zip(its, times)):
-                        n_it = max(int(n_it), 1)
-                        tab[i, :n_it] = t / n_it
-                np.savetxt(os.path.join(d, "time_OCD.dat"), tab,
-                           fmt="%.5e", delimiter=" ")
+                    mean = times / np.maximum(its, 1.0)
+                    np.savetxt(os.path.join(d, "time_OCD_mean.dat"), mean,
+                               fmt="%.5e", delimiter=" ")
 
     def save_exp(self):
         """Full prediction histories for replay (base_class.py:125-141)."""

@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 
 from colaborativempc_tpu.config.params import ExperimentConfig, nl_gains
-from colaborativempc_tpu.geometry import Track, make_track, check_end
+from colaborativempc_tpu.geometry import (
+    Track, make_track, check_end, check_lane, relocalize, select_lane,
+)
 from colaborativempc_tpu.planners.nl import nl_solve, NLSolution
 from colaborativempc_tpu.runtime.simulate import _neighbour_index
 from colaborativempc_tpu.utils.warmstart import initialise_agents
@@ -154,7 +156,6 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
     ``IOmodule.updateOCD`` / ``base_class.py`` time_OCD).
     """
     from colaborativempc_tpu.runtime.simulate import _per_agent_limits
-    gains = cfg.gains if cfg.gains is not None else nl_gains()
     n_ag = cfg.n_agents
     N = cfg.N
     limits_pa = _per_agent_limits(cfg)
@@ -166,18 +167,38 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
                    if n_ag > 1 else jnp.ones((1, 1), jnp.float32))
     ocd = cfg.ocd
 
-    def one_agent(limits, x0, x_bar, u_bar, u_old, lam_i, neigh_xy, mmask,
-                  w, y, rs, pl):
+    def one_agent(gains, lane, limits, x0, x_bar, u_bar, u_old, lam_i,
+                  neigh_xy, mmask, w, y, rs, pl):
         return nl_solve(
             track, gains, limits, cfg.model, N, cfg.dt,
             x0, x_bar, u_bar, u_old, lam_i, neigh_xy, mmask,
             w0=w, y0=y, rho_scale0=rs,
             sqp_iters=cfg.solver.sqp_iters, sqp_mix=cfg.solver.line_search,
             u_trust=(cfg.solver.u_trust_delta, cfg.solver.u_trust_acc),
-            coupling=cfg.coupling, lane=cfg.lane,
+            coupling=cfg.coupling, lane=lane,
             admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
             alpha_relax=cfg.solver.alpha_relax, eps=cfg.solver.eps,
-            planes0=pl)
+            planes0=pl,
+            use_pallas=cfg.solver.use_pallas,
+            pallas_interpret=cfg.solver.pallas_interpret)
+
+    def prepare(state: OCDFleetState) -> OCDFleetState:
+        """Per-control-step dynamic lane switch (reference set_lane/
+        checkLane): re-localise x0 and the linearisation trajectory onto
+        each agent's winning lane before the coordination loop."""
+        if not cfg.dynamic_lane:
+            return state
+        lanes, x0_new = jax.vmap(lambda x: select_lane(track, x))(state.x0)
+        x_pred = jax.vmap(lambda xs, ln: jax.vmap(
+            lambda x: relocalize(track, x, ln))(xs))(state.x_pred, lanes)
+        x_pred = x_pred.at[:, 0].set(x0_new)
+        return state._replace(x0=x0_new, x_pred=x_pred)
+
+    def agent_lanes(x0):
+        if cfg.dynamic_lane:
+            return jax.vmap(
+                lambda x: check_lane(track, x[7], x[8], x[5])[4])(x0)
+        return jnp.full((n_ag,), cfg.lane, jnp.int32)
 
     def _placeholder_planes(x_pred):
         # single-agent: bisector to the far-away placeholder neighbour so
@@ -191,7 +212,10 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
         b = -jnp.sum(a * 0.5 * (pp + far), axis=-1)
         return jnp.stack([th, b], axis=-1)[:, None]      # (1, 1, N, 2)
 
-    def ocd_iteration(st: _OCDLoopState, x0, u_old) -> _OCDLoopState:
+    def ocd_iteration(st: _OCDLoopState, x0, u_old,
+                      gains=None) -> _OCDLoopState:
+        if gains is None:
+            gains = cfg.gains if cfg.gains is not None else nl_gains()
         agents_xy = jnp.swapaxes(st.x_pred[:, :, 7:9], 0, 1)  # (N+1, n_ag, 2)
         if n_ag == 1:
             # placeholder far-away neighbour with a zero price: keeps the
@@ -207,9 +231,38 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
             pl_i = st.planes[jnp.minimum(ids[:, None], ns),
                              jnp.maximum(ids[:, None], ns)]   # (n_ag,nb,N,2)
 
-        sol: NLSolution = jax.vmap(one_agent)(
-            limits_pa, x0, st.x_pred, st.u_pred, u_old, lam, neigh,
-            master_mask, st.w, st.y, st.rho_scale, pl_i)
+        lanes = agent_lanes(x0)
+        if ocd.sweep == "gauss_seidel" and n_ag > 1:
+            # Gauss-Seidel sweep: agents solve in id order, each against the
+            # FRESHEST neighbour plans (rows already updated this iteration)
+            # — the deterministic counterpart of the reference ROS mode's
+            # solve-as-soon-as-neighbours-updated asynchrony
+            # (OCD_ROS_main.py:178-241). Non-finite solves are contained
+            # BEFORE the write so later agents never read a poisoned row.
+            def gs_body(x_all, i):
+                nb_ids = jnp.roll(ids, -(i + 1))[: n_ag - 1]
+                nb_xy = jnp.swapaxes(x_all[nb_ids][:, :, 7:9], 0, 1)
+                mmask = (i < nb_ids).astype(x_all.dtype)
+                lam_i = st.lambdas[i, nb_ids, :]
+                pl_it = st.planes[jnp.minimum(i, nb_ids),
+                                  jnp.maximum(i, nb_ids)]
+                sol_i = one_agent(
+                    gains, lanes[i],
+                    jax.tree.map(lambda v: v[i], limits_pa),
+                    x0[i], x_all[i], st.u_pred[i], u_old[i], lam_i,
+                    nb_xy, mmask, st.w[i], st.y[i], st.rho_scale[i], pl_it)
+                ok_i = (jnp.all(jnp.isfinite(sol_i.x_pred))
+                        & jnp.all(jnp.isfinite(sol_i.u_pred)))
+                x_all = x_all.at[i].set(
+                    jnp.where(ok_i, sol_i.x_pred, x_all[i]))
+                return x_all, sol_i
+
+            _, sol = jax.lax.scan(gs_body, st.x_pred, ids)
+        else:
+            sol: NLSolution = jax.vmap(
+                lambda *a: one_agent(gains, *a))(
+                lanes, limits_pa, x0, st.x_pred, st.u_pred, u_old, lam,
+                neigh, master_mask, st.w, st.y, st.rho_scale, pl_i)
         x_new, u_new, w_new, y_new, rs_new, feas, ok = _contain_nonfinite(
             st, sol)
         pl_new = jnp.where(ok[:, None, None, None], sol.planes, pl_i)
@@ -250,12 +303,24 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
         conv_count = jnp.where(conv, st.conv_count + 1, 0)
         finished = (conv_count > ocd.it_conv) | (st.it_ocd >= ocd.max_it_ocd)
 
-        return _OCDLoopState(
+        new_st = _OCDLoopState(
             x_pred=x_new, u_pred=u_new, x_old=st.x_pred,
             lambdas=lambdas, alpha=alpha, g_prev=g, planes=planes,
             w=w_new, y=y_new, rho_scale=rs_new,
             it_ocd=st.it_ocd + 1, conv_count=conv_count,
             finished=finished, feasible=feas)
+        # Per-fleet freeze: once THIS fleet's stop predicate holds (the
+        # single-fleet while_loop exit condition), the iteration becomes the
+        # identity. In the single-fleet while_loop the body is never entered
+        # with stop=True, so this is free; under vmap (battery / Monte-Carlo
+        # lanes) the loop body keeps running until EVERY lane's condition is
+        # false, and without the freeze converged lanes' duals/plans would
+        # keep updating past their own convergence point — deviating from
+        # the reference's per-run convergence (NL_EU_N_main.py:141-162) and
+        # corrupting per-lane OCD-iteration statistics.
+        stop = (st.it_ocd > ocd.min_it_ocd) & st.finished
+        return jax.tree.map(lambda old, new: jnp.where(stop, old, new),
+                            st, new_st)
 
     def loop_init(state: OCDFleetState) -> _OCDLoopState:
         return _OCDLoopState(
@@ -303,14 +368,16 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
             lambda_max=jnp.max(jnp.abs(out.lambdas)))
         return new_state, metrics
 
-    return ocd_iteration, loop_init, cond, finalize
+    return prepare, ocd_iteration, loop_init, cond, finalize
 
 
 def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
     """Build the jitted one-control-step function: a full OCD inner loop."""
-    ocd_iteration, loop_init, cond, finalize = _build_ocd_core(track, cfg)
+    prepare, ocd_iteration, loop_init, cond, finalize = _build_ocd_core(
+        track, cfg)
 
     def step(state: OCDFleetState):
+        state = prepare(state)
         out = jax.lax.while_loop(
             cond, lambda st: ocd_iteration(st, state.x0, state.u_old),
             loop_init(state))
@@ -327,9 +394,11 @@ def make_nl_ocd_rollout(track: Track, cfg: ExperimentConfig, steps: int):
     termination + IO). Returns jitted
     ``state -> (final_state, (x0_hist, u_hist, OCDStepMetrics))``.
     """
-    ocd_iteration, loop_init, cond, finalize = _build_ocd_core(track, cfg)
+    prepare, ocd_iteration, loop_init, cond, finalize = _build_ocd_core(
+        track, cfg)
 
     def one_step(state: OCDFleetState):
+        state = prepare(state)
         out = jax.lax.while_loop(
             cond, lambda st: ocd_iteration(st, state.x0, state.u_old),
             loop_init(state))
@@ -338,6 +407,36 @@ def make_nl_ocd_rollout(track: Track, cfg: ExperimentConfig, steps: int):
     def rollout(state: OCDFleetState):
         def body(st, _):
             st2, m = one_step(st)
+            return st2, (st2.x0, st2.u_old, m)
+        return jax.lax.scan(body, state, None, length=steps)
+
+    return jax.jit(rollout)
+
+
+def make_nl_ocd_rollout_gains(track: Track, cfg: ExperimentConfig,
+                              steps: int):
+    """Like :func:`make_nl_ocd_rollout` but with the gain pytree as a
+    TRACED argument, so a ``vmap`` over a gain grid advances the whole
+    battery as ONE device program (the reference's experiment battery
+    sweeps {N, Qvx, Qey, Qew, QdU, QU} through the NL-OCD pipeline,
+    ``planner/scripts/experiment_battery.py:15-38``, serially re-invoking
+    the full experiment per combination). Returns jitted
+    ``(gains, state) -> (final_state, (x0_hist, u_hist, OCDStepMetrics))``.
+    """
+    prepare, ocd_iteration, loop_init, cond, finalize = _build_ocd_core(
+        track, cfg)
+
+    def one_step(gains, state: OCDFleetState):
+        state = prepare(state)
+        out = jax.lax.while_loop(
+            cond,
+            lambda st: ocd_iteration(st, state.x0, state.u_old, gains),
+            loop_init(state))
+        return finalize(out)
+
+    def rollout(gains, state: OCDFleetState):
+        def body(st, _):
+            st2, m = one_step(gains, st)
             return st2, (st2.x0, st2.u_old, m)
         return jax.lax.scan(body, state, None, length=steps)
 
@@ -360,7 +459,9 @@ def make_nl_ocd_instrumented(track: Track, cfg: ExperimentConfig):
     after every coordination iteration with its device wall time and the
     max trajectory change.
     """
-    ocd_iteration, loop_init, cond, finalize = _build_ocd_core(track, cfg)
+    prepare, ocd_iteration, loop_init, cond, finalize = _build_ocd_core(
+        track, cfg)
+    prep_jit = jax.jit(prepare)
     it_jit = jax.jit(ocd_iteration)
     init_jit = jax.jit(loop_init)
     fin_jit = jax.jit(finalize)
@@ -368,6 +469,7 @@ def make_nl_ocd_instrumented(track: Track, cfg: ExperimentConfig):
     ocd = cfg.ocd
 
     def step(state: OCDFleetState, on_iteration=None):
+        state = prep_jit(state)
         st = jax.block_until_ready(init_jit(state))
         iter_times = []
         # the loop condition is evaluated on the HOST (eager per-op dispatch

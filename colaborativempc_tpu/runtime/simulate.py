@@ -85,7 +85,7 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
     multi = cfg.n_agents > 1
     limits_pa = _per_agent_limits(cfg)
 
-    def one_agent(limits, x0, x_lin, u_lin, u_old, w, y, rho_scale,
+    def one_agent(limits, lane, x0, x_lin, u_lin, u_old, w, y, rho_scale,
                   neighbours_xy):
         # warm start w/y unshifted: empirically better than the one-stage
         # shift (the constraint geometry moves with the track, not the
@@ -97,9 +97,27 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
             w0=w, y0=y, rho_scale0=rho_scale,
             admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
             alpha_relax=cfg.solver.alpha_relax,
-            eps=cfg.solver.eps, lane=cfg.lane)
+            eps=cfg.solver.eps, lane=lane,
+            use_pallas=cfg.solver.use_pallas,
+            pallas_interpret=cfg.solver.pallas_interpret)
 
     def step(state: FleetState):
+        if cfg.dynamic_lane:
+            # per-step lane switch (reference set_lane/checkLane): each
+            # agent's pose picks the lane, the Frenet entries of x0 AND the
+            # linearisation trajectory are re-localised onto it so the QP's
+            # curvature/half-width rows follow
+            from colaborativempc_tpu.geometry import relocalize, select_lane
+            lanes, x0_new = jax.vmap(lambda x: select_lane(track, x))(
+                state.x0)
+            x_pred = jax.vmap(lambda xs, ln: jax.vmap(
+                lambda x: relocalize(track, x, ln))(xs))(
+                state.x_pred, lanes)
+            x_pred = x_pred.at[:, 0].set(x0_new)
+            state = state._replace(x0=x0_new, x_pred=x_pred)
+        else:
+            lanes = jnp.full((cfg.n_agents,), cfg.lane, jnp.int32)
+
         # the "communication": everyone reads everyone's (X, Y) plan
         # (reference LPV_HP_N_main.py:117 swapaxes; one all_gather on a mesh)
         agents_xy = jnp.swapaxes(state.x_pred[:, :, 7:9], 0, 1)  # (N+1,n,2)
@@ -108,8 +126,8 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
         # neigh: (n_ag, N+1, n_nb, 2)
 
         sol: LPVSolution = jax.vmap(one_agent)(
-            limits_pa, state.x0, state.x_pred, state.u_pred, state.u_old,
-            state.w, state.y, state.rho_scale, neigh)
+            limits_pa, lanes, state.x0, state.x_pred, state.u_pred,
+            state.u_old, state.w, state.y, state.rho_scale, neigh)
 
         new_state = FleetState(
             x0=sol.x_pred[:, 1, :],        # x0 shift (prediction = plant)

@@ -1,22 +1,23 @@
 #!/usr/bin/env python
 """Gain-grid sweep as a vmapped batch (reference
-``planner/scripts/experiment_battery.py``, which runs the grid serially).
+``planner/scripts/experiment_battery.py``, which runs the grid serially
+through the NL-OCD pipeline by re-invoking ``NL_EU_N_main.main`` per
+combination, :15-38).
 
-    python scripts/experiment_battery.py [--steps 80]
+    python scripts/experiment_battery.py [--pipeline nl|lpv] [--steps 80]
 """
 
 import argparse
-import os
-import sys
 
 from colaborativempc_tpu.scripts._common import setup_backend
 setup_backend()
 
-import numpy as np
-
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--pipeline", choices=("nl", "lpv"), default="nl",
+                    help="nl: full OCD coordination per step (reference "
+                         "battery); lpv: decentralised LPV step")
     ap.add_argument("--steps", type=int, default=80)
     ap.add_argument("--agents", type=int, default=3)
     ap.add_argument("--N", type=int, default=20)
@@ -24,9 +25,32 @@ def main():
     args = ap.parse_args()
 
     from colaborativempc_tpu.config import (
-        ExperimentConfig, lpv_gains, SolverConfig,
+        ExperimentConfig, lpv_gains, nl_gains, SolverConfig, OCDConfig,
     )
     from colaborativempc_tpu.runtime import gain_grid, run_lpv_battery
+    from colaborativempc_tpu.runtime.battery import run_nl_battery
+
+    if args.pipeline == "nl":
+        cfg = ExperimentConfig(
+            n_agents=args.agents, N=args.N, dt=0.02, map_type=args.map,
+            gains=nl_gains(), ocd=OCDConfig(),
+            solver=SolverConfig(admm_iters=200, sqp_iters=2))
+        grid = gain_grid(nl_gains(),
+                         q_vx=[-0.2, -0.6, -1.2],
+                         q_ey=[150.0, 300.0],
+                         wq=[0.0, 0.2])
+        print(f"sweeping {len(grid)} gain combinations x {args.steps} "
+              f"NL-OCD steps in one vmapped batch")
+        res = run_nl_battery(cfg, grid, steps=args.steps)
+        ok = res.feasible.all(axis=(0, 2))
+        for i, g in enumerate(grid):
+            print(f"cfg {i:2d}: qvx={float(g.q[0]):6.2f} "
+                  f"qey={float(g.q[3]):6.1f} wq={float(g.wq):4.2f}"
+                  f" -> progress={res.progress[i]:.2f}m"
+                  f" min_dist={res.min_dist_exec[:, i].min():.3f}"
+                  f" OCD_it={res.ocd_iterations[:, i].mean():.1f}"
+                  f" feasible={bool(ok[i])}")
+        return
 
     cfg = ExperimentConfig(
         n_agents=args.agents, N=args.N, dt=0.025, map_type=args.map,

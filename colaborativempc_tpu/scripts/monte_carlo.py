@@ -5,14 +5,16 @@ shards over hosts via parallel.fleet / parallel.multihost).
 
 Reports the distribution of safety and performance metrics across
 scenarios — the statistical robustness evidence the reference gathers by
-re-running experiments serially.
+re-running experiments serially. ``--pipeline nl`` sweeps the full NL-OCD
+coordination loop (per-lane convergence freezing keeps each scenario's
+trajectory and OCD-iteration statistics identical to a standalone run) and
+reports the per-scenario OCD-iteration distribution — the reference's
+de-facto regression artifacts are per-agent OCD_it/time tables.
 
-    python scripts/monte_carlo.py [--scenarios 64] [--steps 60] [--cpu]
+    python scripts/monte_carlo.py [--pipeline lpv|nl] [--scenarios 64]
 """
 
 import argparse
-import os
-import sys
 
 from colaborativempc_tpu.scripts._common import setup_backend
 setup_backend()
@@ -20,8 +22,17 @@ setup_backend()
 import numpy as np
 
 
+def _perturb_x0(state_x0, noise, rng):
+    pert = rng.normal(size=state_x0.shape) * noise
+    pert[..., 3:] = 0.0  # perturb only (vx, vy, wz): the pose states
+    #                      (ey, epsi, theta, s, X, Y) are redundant
+    #                      Frenet/Cartesian pairs that must stay consistent
+    return pert
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--pipeline", choices=("lpv", "nl"), default="lpv")
     ap.add_argument("--scenarios", type=int, default=64)
     ap.add_argument("--agents", type=int, default=3)
     ap.add_argument("--N", type=int, default=20)
@@ -34,9 +45,51 @@ def main():
     import jax
     import jax.numpy as jnp
     from colaborativempc_tpu.config import (
-        ExperimentConfig, lpv_gains, SolverConfig,
+        ExperimentConfig, lpv_gains, nl_gains, SolverConfig, OCDConfig,
     )
     from colaborativempc_tpu.geometry import make_track
+
+    rng = np.random.default_rng(0)
+
+    if args.pipeline == "nl":
+        from colaborativempc_tpu.runtime.ocd import (
+            init_nl_fleet, make_nl_ocd_rollout,
+        )
+        cfg = ExperimentConfig(
+            n_agents=args.agents, N=args.N, dt=0.02, map_type=args.map,
+            gains=nl_gains(), ocd=OCDConfig(),
+            solver=SolverConfig(admm_iters=200, sqp_iters=2))
+        track = make_track(cfg.map_type)
+        state = jax.tree.map(
+            lambda x: jnp.broadcast_to(
+                x[None], (args.scenarios,) + x.shape).copy(),
+            init_nl_fleet(track, cfg))
+        pert = _perturb_x0(np.asarray(state.x0), args.noise, rng)
+        state = state._replace(x0=state.x0 + jnp.asarray(pert, state.x0.dtype))
+
+        rollout = jax.jit(jax.vmap(make_nl_ocd_rollout(track, cfg,
+                                                       args.steps)))
+        state, (_, _, m) = rollout(state)
+        min_dist = np.asarray(m.min_dist_exec).min(axis=1)
+        feas = np.asarray(m.feasible).all(axis=(1, 2))
+        its = np.asarray(m.ocd_iterations)              # (scen, steps)
+        prog = np.asarray(state.x0[:, :, 6]).mean(axis=1)
+        print(f"NL-OCD: {args.scenarios} scenarios x {args.agents} agents "
+              f"x {args.steps} steps")
+        print(f"feasible scenarios: {int(feas.sum())}/{args.scenarios}")
+        print(f"min separation: p5={np.percentile(min_dist, 5):.3f} "
+              f"median={np.median(min_dist):.3f} worst={min_dist.min():.3f}")
+        print(f"progress [m]:   p5={np.percentile(prog, 5):.2f} "
+              f"median={np.median(prog):.2f} best={prog.max():.2f}")
+        # per-scenario OCD statistics (reference OCD_it.dat per agent):
+        per_scen = its.mean(axis=1)
+        print(f"OCD iterations/step: per-scenario mean "
+              f"p5={np.percentile(per_scen, 5):.2f} "
+              f"median={np.median(per_scen):.2f} "
+              f"p95={np.percentile(per_scen, 95):.2f} "
+              f"max-step={int(its.max())}")
+        return
+
     from colaborativempc_tpu.runtime import init_lpv_fleet
     from colaborativempc_tpu.runtime.simulate import make_lpv_fleet_rollout
     from colaborativempc_tpu.parallel import batch_fleet_state
@@ -46,11 +99,7 @@ def main():
         gains=lpv_gains(), solver=SolverConfig(admm_iters=300))
     track = make_track(cfg.map_type)
     state = batch_fleet_state(init_lpv_fleet(track, cfg), args.scenarios)
-    rng = np.random.default_rng(0)
-    pert = rng.normal(size=state.x0.shape) * args.noise
-    pert[:, :, 3:] = 0.0  # perturb only (vx, vy, wz): the pose states
-    #                        (ey, epsi, theta, s, X, Y) are redundant
-    #                        Frenet/Cartesian pairs that must stay consistent
+    pert = _perturb_x0(np.asarray(state.x0), args.noise, rng)
     state = state._replace(x0=state.x0 + jnp.asarray(pert, state.x0.dtype))
 
     # all steps of all scenarios run as ONE scanned device program

@@ -212,3 +212,60 @@ def test_all_track_families_drivable(track_name):
     s = jnp.asarray(res.states[:, 0, 6])
     hw = np.asarray(halfwidth(track, s, sm=cfg.limits.sm))
     assert (np.abs(res.states[:, 0, 3]) <= hw + 0.05).all()
+
+
+def test_dynamic_lane_follows_agent():
+    """Oval2 two-lane dynamic lane selection (reference set_lane/checkLane,
+    track_initialization.py:302,418-436): an agent physically in lane 1 gets
+    lane-1 constraint tables even though cfg.lane=0; after an external
+    displacement into lane 0 the planner re-localises onto lane 0 and the
+    run stays feasible with the new lane's bounds."""
+    from colaborativempc_tpu.geometry import (
+        frenet_to_cartesian, select_lane,
+    )
+    from colaborativempc_tpu.runtime import init_lpv_fleet
+    from colaborativempc_tpu.runtime.simulate import make_lpv_fleet_step
+
+    cfg = small_cfg(n_agents=1, N=10, map_type="Oval2", lane=0,
+                    dynamic_lane=True)
+    track = make_track(cfg.map_type)
+
+    # start the agent in LANE 1 (warm start built on lane 1)
+    cfg_init = dataclasses.replace(cfg, lane=1)
+    x0 = np.asarray(x0_database(1))
+    state = init_lpv_fleet(track, cfg_init, x0)
+
+    step = jax.jit(make_lpv_fleet_step(track, cfg))
+    lanes_seen = []
+    for _ in range(6):
+        state, metrics = step(state)
+        assert np.asarray(metrics.feasible).all()
+        lane, _ = select_lane(track, state.x0[0])
+        lanes_seen.append(int(lane))
+        # within lane-1 bounds of the SELECTED lane
+        hw = float(halfwidth(track, float(state.x0[0, 6]), lane=int(lane)))
+        assert abs(float(state.x0[0, 3])) <= hw + 0.05
+    assert lanes_seen == [1] * 6, lanes_seen
+
+    # external displacement: teleport the car onto lane 0 at the same
+    # arc-length position (same heading), keeping velocities
+    s_now = float(state.x0[0, 6])
+    x1, y1, th1 = frenet_to_cartesian(track, s_now, 0.0, lane=1)
+    x0_, y0_, th0 = frenet_to_cartesian(track, s_now, 0.0, lane=0)
+    dx, dy, dth = float(x0_ - x1), float(y0_ - y1), float(th0 - th1)
+
+    def shift(xrow):
+        xrow = xrow.at[..., 7].add(dx)
+        xrow = xrow.at[..., 8].add(dy)
+        return xrow.at[..., 5].add(dth)
+
+    state = state._replace(x0=shift(state.x0), x_pred=shift(state.x_pred))
+    for _ in range(4):
+        state, metrics = step(state)
+        assert np.asarray(metrics.feasible).all()
+    lane, xloc = select_lane(track, state.x0[0])
+    assert int(lane) == 0, int(lane)
+    hw = float(halfwidth(track, float(xloc[6]), lane=0))
+    assert abs(float(xloc[3])) <= hw + 0.05
+    # forward progress continued after the lane switch
+    assert float(state.x0[0, 6]) > s_now

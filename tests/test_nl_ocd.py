@@ -284,6 +284,17 @@ def test_instrumented_ocd_matches_fast_path():
     tab = np.loadtxt(os.path.join(io.path, "csv", "0", "time_OCD.dat"))
     assert tab.shape[0] == res_inst.steps
 
+    # fast path: no per-iteration wall times exist (one device dispatch per
+    # control step), so time_OCD.dat must NOT be fabricated — the derived
+    # per-iteration mean is emitted under its own explicit name instead
+    io_f = ExperimentIO(cfg, path="/tmp/cmpc_fast_test")
+    run_nl_experiment(cfg, io=io_f)
+    io_f.save_to_csv()
+    d = os.path.join(io_f.path, "csv", "0")
+    assert not os.path.exists(os.path.join(d, "time_OCD.dat"))
+    mean = np.loadtxt(os.path.join(d, "time_OCD_mean.dat"))
+    assert mean.shape[0] == res_fast.steps
+
 
 def test_single_agent_nl():
     """n_agents=1 NL experiment (regression: the warm-start row count must
@@ -319,3 +330,119 @@ def test_nl_rollout_matches_step_loop():
     assert np.array_equal(np.asarray(metrics.ocd_iterations),
                           np.asarray(it_ref))
     assert np.allclose(np.asarray(st2.x0), x0_ref[-1], atol=1e-5)
+
+
+def test_vmapped_ocd_matches_per_lane():
+    """Batched (vmapped) OCD must reproduce each lane's standalone result:
+    a converged lane FREEZES (per-run convergence, reference
+    NL_EU_N_main.py:141-162) instead of its duals/plans drifting while the
+    vmapped while_loop keeps running for a slower lane."""
+    from colaborativempc_tpu.config import x0_database
+
+    cfg = nl_cfg(n_agents=3, N=10)
+    track = make_track(cfg.map_type)
+    x0_a = np.asarray(x0_database(cfg.n_agents))
+    x0_b = x0_a.copy()
+    x0_b[:, 0] += 0.5          # faster fleet: different coupling pressure
+    state_a = init_nl_fleet(track, cfg, x0_a)
+    state_b = init_nl_fleet(track, cfg, x0_b)
+
+    step = make_nl_ocd_step(track, cfg)
+    refs = []
+    for st in (state_a, state_b):
+        its = []
+        for _ in range(2):
+            st, m = step(st)
+            its.append(int(m.ocd_iterations))
+        refs.append((st, its))
+
+    bst = jax.tree.map(lambda a, b: jnp.stack([a, b]), state_a, state_b)
+    vstep = jax.jit(jax.vmap(step))
+    b_its = []
+    for _ in range(2):
+        bst, bm = vstep(bst)
+        b_its.append(np.asarray(bm.ocd_iterations))
+
+    for lane, (st_ref, its_ref) in enumerate(refs):
+        err = np.abs(np.asarray(bst.x_pred[lane])
+                     - np.asarray(st_ref.x_pred)).max()
+        assert err < 1e-5, (lane, err)
+        lam_err = np.abs(np.asarray(bst.lambdas[lane])
+                         - np.asarray(st_ref.lambdas)).max()
+        assert lam_err < 1e-5, (lane, lam_err)
+        assert [int(b[lane]) for b in b_its] == its_ref, lane
+
+
+def test_nl_battery_sweep():
+    """The vmapped NL-OCD battery (reference experiment_battery.py:15-38
+    sweeps the NL pipeline) advances every gain config in lock-step; each
+    lane's trajectory and OCD depth equal a standalone run of that config."""
+    from colaborativempc_tpu.runtime.battery import gain_grid, run_nl_battery
+    from colaborativempc_tpu.runtime.ocd import make_nl_ocd_rollout
+
+    cfg = nl_cfg(n_agents=2, N=10)
+    grid = gain_grid(nl_gains(), q_vx=[-0.2, -0.6],
+                     q_ey=[300.0, 600.0], wq=[0.0, 0.2])
+    assert len(grid) == 8
+    steps = 5
+    res = run_nl_battery(cfg, grid, steps=steps)
+
+    assert res.states.shape == (steps, 8, cfg.n_agents, 9)
+    assert res.ocd_iterations.shape == (steps, 8)
+    assert res.feasible.all()
+    assert (res.progress > 0.1).all()
+
+    # lane 3 must equal a standalone rollout with that exact gain config
+    k = 3
+    cfg_k = nl_cfg(n_agents=2, N=10, gains=grid[k])
+    track = make_track(cfg.map_type)
+    _, (x0_h, _, m) = make_nl_ocd_rollout(track, cfg_k, steps)(
+        init_nl_fleet(track, cfg_k))
+    assert np.allclose(res.states[:, k], np.asarray(x0_h), atol=1e-5)
+    assert np.array_equal(res.ocd_iterations[:, k],
+                          np.asarray(m.ocd_iterations))
+
+
+def test_nl_dynamic_lane():
+    """NL-OCD with per-step dynamic lane selection: an agent started in
+    Oval2's lane 1 (cfg.lane=0) is planned against lane-1 tables
+    (reference set_lane/checkLane, track_initialization.py:302,418-436)."""
+    import dataclasses
+    from colaborativempc_tpu.config import x0_database
+    from colaborativempc_tpu.geometry import select_lane
+    from colaborativempc_tpu.runtime.ocd import make_nl_ocd_step
+
+    cfg = nl_cfg(n_agents=1, N=10, map_type="Oval2", lane=0,
+                 dynamic_lane=True)
+    track = make_track(cfg.map_type)
+    state = init_nl_fleet(track, dataclasses.replace(cfg, lane=1),
+                          np.asarray(x0_database(1)))
+    step = make_nl_ocd_step(track, cfg)
+    for _ in range(4):
+        state, metrics = step(state)
+        assert np.asarray(metrics.feasible).all()
+    lane, xloc = select_lane(track, state.x0[0])
+    assert int(lane) == 1
+    assert float(state.x0[0, 6]) > 0.05   # progressed along lane 1
+
+
+def test_gauss_seidel_sweep():
+    """ocd.sweep="gauss_seidel": agents solve in id order against the
+    freshest neighbour plans (the deterministic counterpart of the
+    reference ROS mode's asynchronous solve-when-neighbours-updated,
+    OCD_ROS_main.py:178-241). Must converge to the same closed-loop
+    behaviour as the Jacobi sweep, in no more coordination iterations."""
+    cfg_j = nl_cfg(max_it=25)
+    cfg_g = nl_cfg(max_it=25,
+                   ocd=OCDConfig(max_it_ocd=30, sweep="gauss_seidel"))
+    res_j = run_nl_experiment(cfg_j)
+    res_g = run_nl_experiment(cfg_g)
+
+    assert res_g.steps == 25
+    assert res_g.feasible.all()
+    assert res_g.min_dist_exec.min() > cfg_g.limits.min_dist * 0.8
+    # both sweeps drive the fleet to the same coordinated fixed point
+    assert np.abs(res_g.states - res_j.states).max() < 0.1
+    # fresher neighbour data must not slow coordination down
+    assert (res_g.ocd_iterations[3:].mean()
+            <= res_j.ocd_iterations[3:].mean() + 0.5)

@@ -373,3 +373,71 @@ def test_pallas_admm_epoch_kernel_interpret():
                           atol=1e-4)
         assert np.isclose(float(jnp.max(rd[i])), float(sol.r_dual),
                           atol=1e-4)
+
+
+def test_admm_solve_pallas_dispatch_matches_xla():
+    """``admm_solve(..., use_pallas=True)`` — the product-path dispatch to
+    the in-VMEM Pallas epoch kernel — reproduces the XLA scan path across
+    MULTIPLE refactorisation epochs (adaptive-rho rescales between kernel
+    calls) and respects the constraints. Interpreter mode (see
+    test_pallas_affine_kernel_interpret for why)."""
+    rng = np.random.default_rng(31)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    N, nz, nc, m = 8, 5, 2, 3
+    F, G, d, Q, R, S, q, r, z0, D, E, lo, hi = _constrained_problem(
+        rng, N=N, nz=nz, nc=nc, m=m)
+    soft = np.full((N, m), np.inf)
+    soft[:, 0] = 50.0
+    qp = StageQP(
+        dyn=LQRDynamics(f32(F), f32(G), f32(d)),
+        cost=LQRCost(f32(Q), f32(q), f32(R), f32(r), f32(S)),
+        D=f32(D), E=f32(E), lo=f32(lo), hi=f32(hi),
+        soft_lo=f32(soft), soft_hi=f32(soft))
+
+    kw = dict(iters=150, rho=5.0, eps=1e-6, epoch_len=25)
+    ref = admm_solve(qp, f32(z0), **kw)
+    pal = admm_solve(qp, f32(z0), use_pallas=True, pallas_interpret=True,
+                     **kw)
+    assert np.allclose(np.asarray(pal.z), np.asarray(ref.z), atol=1e-4)
+    assert np.allclose(np.asarray(pal.c), np.asarray(ref.c), atol=1e-4)
+    # rho_scale / epoch count are solver-internal: near-zero residuals make
+    # the adaptive-rho ratio float-noise-sensitive, so the two (equally
+    # converged) paths may take different epoch trajectories — what must
+    # agree is the solution and the convergence certificate
+    assert float(pal.r_prim) < 1e-6 and float(ref.r_prim) < 1e-6
+    assert bool(pal.feasible)
+
+
+def test_admm_solve_pallas_vmem_guard():
+    """Shapes past the VMEM bound must silently fall back to the XLA path
+    (same results, no Pallas lowering attempted)."""
+    from colaborativempc_tpu.ops.admm import (
+        pallas_epoch_supported, pallas_vmem_bytes, PALLAS_VMEM_BOUND,
+    )
+    # bicycle-model stage QP sizes (nz=11, nc=2, m~10) fit at N<=48
+    assert pallas_epoch_supported(20, 11, 2, 10)
+    assert pallas_epoch_supported(48, 11, 2, 10)
+    # a huge horizon/state blows VMEM and must be rejected
+    assert not pallas_epoch_supported(2000, 64, 8, 64)
+    assert pallas_vmem_bytes(2000, 64, 8, 64) > PALLAS_VMEM_BOUND
+
+    rng = np.random.default_rng(33)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    F, G, d, Q, R, S, q, r, z0, D, E, lo, hi = _constrained_problem(
+        rng, N=5, nz=3, nc=2, m=2)
+    qp = StageQP(
+        dyn=LQRDynamics(f32(F), f32(G), f32(d)),
+        cost=LQRCost(f32(Q), f32(q), f32(R), f32(r), f32(S)),
+        D=f32(D), E=f32(E), lo=f32(lo), hi=f32(hi))
+    import colaborativempc_tpu.ops.admm as admm_mod
+    old = admm_mod.PALLAS_VMEM_BOUND
+    try:
+        admm_mod.PALLAS_VMEM_BOUND = 0  # force the guard to reject
+        # ...but admm_solve reads the module global through the helper at
+        # trace time, so use_pallas degrades to the XLA path
+        pal = admm_solve(qp, f32(z0), use_pallas=True,
+                         pallas_interpret=True, iters=100, eps=1e-6)
+    finally:
+        admm_mod.PALLAS_VMEM_BOUND = old
+    ref = admm_solve(qp, f32(z0), iters=100, eps=1e-6)
+    assert np.allclose(np.asarray(pal.z), np.asarray(ref.z), atol=1e-5)

@@ -94,6 +94,49 @@ def test_sharded_ocd_matches_single_device():
     assert np.asarray(metrics.feasible).all()
 
 
+def test_sharded_ocd_per_scenario_convergence():
+    """A 2-scenario batch whose scenarios converge at different OCD depths
+    must reproduce EACH scenario's single-fleet result and report per-
+    scenario iteration counts — converged scenarios freeze instead of
+    riding the slower scenario's while_loop (reference semantics converge
+    per run, NL_EU_N_main.py:141-162)."""
+    from colaborativempc_tpu.config import nl_gains, OCDConfig, x0_database
+    from colaborativempc_tpu.runtime.ocd import init_nl_fleet, make_nl_ocd_step
+    from colaborativempc_tpu.parallel import (
+        make_sharded_nl_ocd_step, place_ocd_batch,
+    )
+
+    cfg = ExperimentConfig(
+        n_agents=4, N=8, dt=0.02, max_it=5, map_type="oval",
+        gains=nl_gains(), ocd=OCDConfig(max_it_ocd=25),
+        solver=SolverConfig(admm_iters=150, sqp_iters=2))
+    track = make_track(cfg.map_type)
+    x0_a = np.asarray(x0_database(cfg.n_agents))
+    x0_b = x0_a.copy()
+    x0_b[:, 0] += 0.5           # a faster fleet: different coupling pressure
+    state_a = init_nl_fleet(track, cfg, x0_a)
+    state_b = init_nl_fleet(track, cfg, x0_b)
+
+    ref_step = make_nl_ocd_step(track, cfg)
+    refs = [ref_step(s) for s in (state_a, state_b)]
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("scen", "agent"))
+    batched = jax.tree.map(lambda a, b: jnp.stack([a, b]), state_a, state_b)
+    new_state, metrics = make_sharded_nl_ocd_step(track, cfg, mesh)(
+        place_ocd_batch(batched, mesh))
+
+    its = np.asarray(metrics.ocd_iterations)
+    for s, (ref_state, ref_metrics) in enumerate(refs):
+        err = np.abs(np.asarray(new_state.x_pred[s])
+                     - np.asarray(ref_state.x_pred)).max()
+        assert err < 2e-3, (s, err)
+        lam_err = np.abs(np.asarray(new_state.lambdas[s])
+                         - np.asarray(ref_state.lambdas)).max()
+        assert lam_err < 1e-3, (s, lam_err)
+        assert int(its[s]) == int(ref_metrics.ocd_iterations), (
+            s, int(its[s]), int(ref_metrics.ocd_iterations))
+
+
 def test_sharded_ocd_hp_opt_matches_single_device():
     """hp_opt over the mesh: the plane exchange (all_gather + scatter into
     the replicated pair tensor) must reproduce the single-device step."""
@@ -125,3 +168,45 @@ def test_sharded_ocd_hp_opt_matches_single_device():
                          - np.asarray(ref_state.lambdas)).max()
         assert lam_err < 2e-3, lam_err
     assert np.asarray(metrics.feasible).all()
+
+
+def test_two_process_multicontroller_lpv_step():
+    """True multi-controller execution: two OS processes, 4 virtual CPU
+    devices each, wired by jax.distributed (gloo collectives); a sharded
+    LPV fleet step runs over the GLOBAL 2x4 mesh whose scenario axis
+    crosses the process boundary — the testable stand-in for
+    parallel/multihost.py's DCN path (SURVEY.md §5.8). Skips where
+    cross-process CPU collectives are unavailable."""
+    import socket
+    import subprocess
+    import sys
+    import os
+
+    import pytest
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(repo, "tests", "_multihost_worker.py"),
+         str(pid), "2", str(port)],
+        cwd=repo, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    try:
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    codes = [p.returncode for p in procs]
+    if any(c == 42 for c in codes):
+        pytest.skip(f"jax.distributed unavailable here: {outs}")
+    for c, out in zip(codes, outs):
+        assert c == 0, out
+        assert "OK pid=" in out, out
