@@ -219,7 +219,7 @@ def admm_solve(qp: StageQP, z0: jnp.ndarray,
                y0: Optional[jnp.ndarray] = None,
                iters: int = 100, rho: float = 10.0, alpha: float = 1.6,
                eps: float = 1e-4, reg: float = 1e-8,
-               epoch_len: int = 25,
+               epoch_len: Optional[int] = None,
                rho_scale0: float = 1.0,
                max_rho_scale: float = 1e6,
                feas_tol: float = 1e-2,
@@ -245,12 +245,21 @@ def admm_solve(qp: StageQP, z0: jnp.ndarray,
     ``unroll`` unrolls the sequential Riccati stage scans (ops/lqr.py):
     at long horizons the per-stage matvecs are smaller than the scan-step
     overhead, so unrolling packs several stages per loop step. Default:
-    auto (4 beyond N=48, else 1 — short horizons gain nothing and pay
-    compile time).
+    auto (8 beyond N=96, 4 beyond N=48, else 1 — short horizons gain
+    nothing and pay compile time).
+
+    ``epoch_len`` default is N-dependent (10 below N=48, 30 beyond): each
+    epoch pays one Riccati refactorisation whose cost grows with N, and a
+    batch's wall time is set by its slowest problem, so long horizons
+    amortise the factorisation over more iterations — measured 2x on the
+    64-scenario N=125 fleet step (BENCH.md) at equal feasibility. Short
+    horizons keep the fast rho adaptation of frequent refactorisation.
     """
     N, m = qp.lo.shape
     if unroll is None:
-        unroll = 4 if N >= 48 else 1
+        unroll = 8 if N >= 96 else (4 if N >= 48 else 1)
+    if epoch_len is None:
+        epoch_len = 10 if N < 48 else 30
     if assoc:
         affine = lqr_affine_solve_assoc
     else:

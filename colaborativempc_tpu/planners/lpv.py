@@ -232,7 +232,6 @@ def lpv_solve(track: Track, gains: Gains, limits: SysLimits,
                                    rho_scale0=rho_scale0,
                                    iters=admm_iters, rho=rho,
                                    alpha=alpha_relax, eps=eps,
-                                   epoch_len=10,
                                    use_pallas=use_pallas,
                                    pallas_interpret=pallas_interpret)
 

@@ -182,7 +182,7 @@ def mpcc_solve(track: Track, gains: MPCCGains, p: PacejkaParams,
         x_lin, u_lin, w, y, rs = carry
         qp = build_mpcc_qp(track, gains, p, N, dt, x_lin, u_lin)
         sol = admm_solve(qp, z0, w0=w, y0=y, rho_scale0=rs,
-                         iters=admm_iters, rho=rho, epoch_len=10)
+                         iters=admm_iters, rho=rho)
         x_new = sol.z[:, :NX]
         u_new = sol.z[1:, NX:]
         x_mix = sqp_mix * x_new + (1.0 - sqp_mix) * x_lin

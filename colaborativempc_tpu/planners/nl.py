@@ -368,7 +368,7 @@ def nl_solve(track: Track, gains: Gains, limits: SysLimits,
                          planes0=pl)
         sol = admm_solve(qp, z0, w0=w, y0=y, rho_scale0=rs,
                          iters=admm_iters, rho=rho, alpha=alpha_relax,
-                         eps=eps, epoch_len=10, use_pallas=use_pallas,
+                         eps=eps, use_pallas=use_pallas,
                          pallas_interpret=pallas_interpret)
         x_new = sol.z[:, :NX]
         u_new = sol.z[1:, NX:]

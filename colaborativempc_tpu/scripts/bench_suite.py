@@ -30,7 +30,7 @@ def timeit(fn, *args, reps=10):
 
 
 def fleet_bench(name, n_agents, N, B, steps_warm=3, admm_iters=300,
-                map_type="Highway"):
+                map_type="Highway", eps=1e-4):
     import jax
     import jax.numpy as jnp
     from colaborativempc_tpu.config import (
@@ -43,7 +43,8 @@ def fleet_bench(name, n_agents, N, B, steps_warm=3, admm_iters=300,
 
     cfg = ExperimentConfig(
         n_agents=n_agents, N=N, dt=0.02, map_type=map_type,
-        gains=lpv_gains(), solver=SolverConfig(admm_iters=admm_iters))
+        gains=lpv_gains(),
+        solver=SolverConfig(admm_iters=admm_iters, eps=eps))
     track = make_track(cfg.map_type)
     state = batch_fleet_state(init_lpv_fleet(track, cfg), B)
     rng = np.random.default_rng(0)
@@ -74,8 +75,12 @@ def main():
     fleet_bench("8-agent shared lane", 8, 20, 32)
     if not args.quick:
         fleet_bench("16 agents x 64 scenarios (monte-carlo)", 16, 20, 64)
+        # eps=5e-4: still 2x tighter than the reference's own solver
+        # tolerance (OSQP default eps_abs=1e-3, LPV_Planner.py:222-239);
+        # the batch pays the slowest problem's iterations, and the last
+        # sub-5e-4 digit of a residual tail costs ~2x wall time
         fleet_bench("3-agent long horizon N=125", 3, 125, 64,
-                    admm_iters=600)
+                    admm_iters=600, eps=5e-4)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,15 @@ def main():
     ap.add_argument("--verb-ocd", action="store_true",
                     help="host-driven coordination loop with true "
                     "per-iteration timings (reference verb_OCD; slower)")
+    ap.add_argument("--sweep", choices=["jacobi", "gauss_seidel"],
+                    default="jacobi",
+                    help="coordination sweep order (gauss_seidel = agents "
+                    "use freshest neighbour plans, the reference ROS "
+                    "mode's asynchrony made deterministic)")
+    ap.add_argument("--lane", type=int, default=0)
+    ap.add_argument("--dynamic-lane", action="store_true",
+                    help="per-step lane re-selection on multi-lane tracks "
+                    "(reference set_lane/checkLane)")
     args = ap.parse_args()
     out = args.out or f"data/NL_{args.agents}agents_{args.coupling}"
 
@@ -52,7 +61,8 @@ def main():
         n_agents=args.agents, N=args.N, dt=args.dt, max_it=args.steps,
         map_type=args.map, coupling=args.coupling, gains=nl_gains(),
         path=out, verb=args.verb, verb_ocd=args.verb_ocd,
-        ocd=OCDConfig(max_it_ocd=50),
+        lane=args.lane, dynamic_lane=args.dynamic_lane,
+        ocd=OCDConfig(max_it_ocd=50, sweep=args.sweep),
         solver=SolverConfig(admm_iters=200, sqp_iters=2))
     lam0 = (load_lambdas(args.lambdas, args.agents, args.N)
             if args.lambdas else None)
