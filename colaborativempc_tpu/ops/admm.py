@@ -248,18 +248,19 @@ def admm_solve(qp: StageQP, z0: jnp.ndarray,
     auto (8 beyond N=96, 4 beyond N=48, else 1 — short horizons gain
     nothing and pay compile time).
 
-    ``epoch_len`` default is N-dependent (10 below N=48, 30 beyond): each
+    ``epoch_len`` default is N-dependent (10/20/30 by horizon): each
     epoch pays one Riccati refactorisation whose cost grows with N, and a
     batch's wall time is set by its slowest problem, so long horizons
     amortise the factorisation over more iterations — measured 2x on the
-    64-scenario N=125 fleet step (BENCH.md) at equal feasibility. Short
-    horizons keep the fast rho adaptation of frequent refactorisation.
+    64-scenario N=125 fleet step and 1.6x on the H=20 headline at the SAME
+    residual tolerance (BENCH.md). Very short horizons keep the fast rho
+    adaptation of frequent refactorisation.
     """
     N, m = qp.lo.shape
     if unroll is None:
         unroll = 8 if N >= 96 else (4 if N >= 48 else 1)
     if epoch_len is None:
-        epoch_len = 10 if N < 48 else 30
+        epoch_len = 10 if N < 16 else (20 if N < 48 else 30)
     if assoc:
         affine = lqr_affine_solve_assoc
     else:

@@ -121,3 +121,58 @@ def plot_performance(states, dt, path=None, name="perf.png"):
         plt.close(fig)
         return out
     return axes
+
+
+def animate_experiment(track: Track, states, path=None, name="run.gif",
+                       preds=None, fps: int = 12, every: int = 1,
+                       sm: float = 0.9, trail: int = 200):
+    """Step-by-step animation of a run — the offline counterpart of the
+    reference's live mode (``plotter.animate_step``, plot_tools.py:89-103:
+    car polygons + incremental trails + the current predicted trajectory),
+    rendered headless to a GIF so it works everywhere the reference's
+    interactive window does not.
+
+    states: (T, n_agents, 9) executed states; preds: optional
+    (T, n_agents, N+1, 9) per-step predictions (``ExperimentIO``'s
+    ``s_pred_hist`` / the pickled states.pkl replay data).
+    Returns the written file path (or the FuncAnimation when path is None).
+    """
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    states = np.asarray(states)
+    T, n_ag = states.shape[0], states.shape[1]
+    frames = range(0, T, max(int(every), 1))
+
+    fig, ax = plt.subplots(figsize=(9, 6))
+    plot_track(track, ax=ax, sm=sm)
+    trails, cars, plans = [], [], []
+    for a in range(n_ag):
+        col = _COLORS[a % len(_COLORS)]
+        (tr,) = ax.plot([], [], "-", color=col, lw=1.2, label=f"agent {a}")
+        trails.append(tr)
+        cars.append(ax.fill([], [], color=col, alpha=0.6)[0])
+        (pl,) = ax.plot([], [], ":", color=col, lw=1.0, alpha=0.8)
+        plans.append(pl)
+    ax.legend(loc="best", fontsize=8)
+
+    def update(t):
+        lo = max(0, t - trail)
+        for a in range(n_ag):
+            trails[a].set_data(states[lo:t + 1, a, 7],
+                               states[lo:t + 1, a, 8])
+            cx, cy = car_polygon(states[t, a, 7], states[t, a, 8],
+                                 states[t, a, 5])
+            cars[a].set_xy(np.stack([cx, cy], axis=-1))
+            if preds is not None:
+                plans[a].set_data(np.asarray(preds)[t, a, :, 7],
+                                  np.asarray(preds)[t, a, :, 8])
+        return trails + cars + plans
+
+    anim = FuncAnimation(fig, update, frames=frames, blit=True)
+    if path is not None:
+        os.makedirs(path, exist_ok=True)
+        out = os.path.join(path, name)
+        anim.save(out, writer=PillowWriter(fps=fps))
+        plt.close(fig)
+        return out
+    return anim

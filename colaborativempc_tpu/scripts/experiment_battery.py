@@ -21,6 +21,11 @@ def main():
     ap.add_argument("--steps", type=int, default=80)
     ap.add_argument("--agents", type=int, default=3)
     ap.add_argument("--N", type=int, default=20)
+    ap.add_argument("--horizons", default=None,
+                    help="comma-separated N values for the outer horizon "
+                    "sweep (the reference battery's N axis, "
+                    "experiment_battery.py:15-20); shapes change per N so "
+                    "each value is its own compiled batch")
     ap.add_argument("--map", default="Highway")
     args = ap.parse_args()
 
@@ -31,25 +36,28 @@ def main():
     from colaborativempc_tpu.runtime.battery import run_nl_battery
 
     if args.pipeline == "nl":
-        cfg = ExperimentConfig(
-            n_agents=args.agents, N=args.N, dt=0.02, map_type=args.map,
-            gains=nl_gains(), ocd=OCDConfig(),
-            solver=SolverConfig(admm_iters=200, sqp_iters=2))
+        horizons = ([int(x) for x in args.horizons.split(",")]
+                    if args.horizons else [args.N])
         grid = gain_grid(nl_gains(),
                          q_vx=[-0.2, -0.6, -1.2],
                          q_ey=[150.0, 300.0],
                          wq=[0.0, 0.2])
-        print(f"sweeping {len(grid)} gain combinations x {args.steps} "
-              f"NL-OCD steps in one vmapped batch")
-        res = run_nl_battery(cfg, grid, steps=args.steps)
-        ok = res.feasible.all(axis=(0, 2))
-        for i, g in enumerate(grid):
-            print(f"cfg {i:2d}: qvx={float(g.q[0]):6.2f} "
-                  f"qey={float(g.q[3]):6.1f} wq={float(g.wq):4.2f}"
-                  f" -> progress={res.progress[i]:.2f}m"
-                  f" min_dist={res.min_dist_exec[:, i].min():.3f}"
-                  f" OCD_it={res.ocd_iterations[:, i].mean():.1f}"
-                  f" feasible={bool(ok[i])}")
+        for N in horizons:
+            cfg = ExperimentConfig(
+                n_agents=args.agents, N=N, dt=0.02, map_type=args.map,
+                gains=nl_gains(), ocd=OCDConfig(),
+                solver=SolverConfig(admm_iters=200, sqp_iters=2))
+            print(f"N={N}: sweeping {len(grid)} gain combinations x "
+                  f"{args.steps} NL-OCD steps in one vmapped batch")
+            res = run_nl_battery(cfg, grid, steps=args.steps)
+            ok = res.feasible.all(axis=(0, 2))
+            for i, g in enumerate(grid):
+                print(f"  N={N} cfg {i:2d}: qvx={float(g.q[0]):6.2f} "
+                      f"qey={float(g.q[3]):6.1f} wq={float(g.wq):4.2f}"
+                      f" -> progress={res.progress[i]:.2f}m"
+                      f" min_dist={res.min_dist_exec[:, i].min():.3f}"
+                      f" OCD_it={res.ocd_iterations[:, i].mean():.1f}"
+                      f" feasible={bool(ok[i])}")
         return
 
     cfg = ExperimentConfig(

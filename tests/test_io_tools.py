@@ -234,3 +234,23 @@ def test_fleet_rollout_matches_step_loop():
     assert np.array_equal(np.asarray(metrics.feasible),
                           np.asarray(feas_ref))
     assert np.allclose(np.asarray(st2.x0), x0_ref[-1], atol=1e-5)
+
+
+def test_animate_experiment(tmp_path):
+    """Step-by-step animation export — the headless counterpart of the
+    reference's live plotter (plot_tools.py:89-103)."""
+    from colaborativempc_tpu.runtime.plotting import animate_experiment
+    from colaborativempc_tpu.geometry import make_track
+    import numpy as np
+
+    track = make_track("oval")
+    T, n_ag, N = 8, 2, 5
+    rng = np.random.default_rng(0)
+    states = rng.normal(size=(T, n_ag, 9)) * 0.1
+    states[:, :, 7] = np.linspace(0.5, 2.0, T)[:, None]
+    states[:, :, 8] = 1.0 + 0.1 * np.arange(n_ag)[None, :]
+    preds = np.repeat(states[:, :, None, :], N + 1, axis=2)
+    out = animate_experiment(track, states, path=str(tmp_path),
+                             preds=preds, every=2, fps=4)
+    import os
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
