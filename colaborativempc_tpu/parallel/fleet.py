@@ -43,7 +43,7 @@ def make_sharded_lpv_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
     multi = n_ag > 1
     limits_pa = _per_agent_limits(cfg)  # heterogeneous fleets supported
 
-    def one_agent(limits, x0, x_lin, u_lin, u_old, w, y, rho_scale,
+    def one_agent(lane, limits, x0, x_lin, u_lin, u_old, w, y, rho_scale,
                   neighbours_xy):
         return lpv_solve(
             track, gains, limits, cfg.model, cfg.N, cfg.dt,
@@ -52,7 +52,7 @@ def make_sharded_lpv_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
             w0=w, y0=y, rho_scale0=rho_scale,
             admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
             alpha_relax=cfg.solver.alpha_relax,
-            eps=cfg.solver.eps, lane=cfg.lane,
+            eps=cfg.solver.eps, lane=lane,
             use_pallas=cfg.solver.use_pallas,
             pallas_interpret=cfg.solver.pallas_interpret)
 
@@ -60,6 +60,21 @@ def make_sharded_lpv_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
         # local shapes: (S_l, A_l, ...)
         A_l = state.x0.shape[1]
         a_idx = jax.lax.axis_index(agent_axis)
+
+        if cfg.dynamic_lane:
+            # per-step lane switch (reference set_lane/checkLane): purely
+            # shard-local math — each (scenario, agent) re-localises its
+            # own pose, no collectives involved
+            from colaborativempc_tpu.geometry import relocalize, select_lane
+            lanes, x0_new = jax.vmap(jax.vmap(
+                lambda x: select_lane(track, x)))(state.x0)
+            x_pred = jax.vmap(jax.vmap(lambda xs, ln: jax.vmap(
+                lambda x: relocalize(track, x, ln))(xs)))(
+                state.x_pred, lanes)
+            x_pred = x_pred.at[:, :, 0].set(x0_new)
+            state = state._replace(x0=x0_new, x_pred=x_pred)
+        else:
+            lanes = jnp.full(state.x0.shape[:2], cfg.lane, jnp.int32)
 
         # THE exchange: gather every agent's (X, Y) plan over ICI
         xy_local = state.x_pred[:, :, :, 7:9]          # (S_l, A_l, N+1, 2)
@@ -71,18 +86,20 @@ def make_sharded_lpv_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
             rolled = jnp.roll(all_xy_s, -(global_id + 1), axis=0)
             return rolled[: n_ag - 1]                  # (n_nb, N+1, 2)
 
-        def solve_scenario(x0, x_lin, u_lin, u_old, w, y, rs, all_xy_s):
-            def solve_agent(local_a, x0a, xla, ula, uoa, wa, ya, rsa):
+        def solve_scenario(x0, x_lin, u_lin, u_old, w, y, rs, all_xy_s,
+                           lanes_s):
+            def solve_agent(local_a, x0a, xla, ula, uoa, wa, ya, rsa, ln):
                 gid = a_idx * A_l + local_a
                 lim_a = jax.tree.map(lambda v: v[gid], limits_pa)
                 nb = jnp.swapaxes(neighbours_of(gid, all_xy_s), 0, 1)
-                return one_agent(lim_a, x0a, xla, ula, uoa, wa, ya, rsa, nb)
+                return one_agent(ln, lim_a, x0a, xla, ula, uoa, wa, ya,
+                                 rsa, nb)
             return jax.vmap(solve_agent)(
-                jnp.arange(A_l), x0, x_lin, u_lin, u_old, w, y, rs)
+                jnp.arange(A_l), x0, x_lin, u_lin, u_old, w, y, rs, lanes_s)
 
         sol: LPVSolution = jax.vmap(solve_scenario)(
             state.x0, state.x_pred, state.u_pred, state.u_old,
-            state.w, state.y, state.rho_scale, all_xy)
+            state.w, state.y, state.rho_scale, all_xy, lanes)
 
         new_state = FleetState(
             x0=sol.x_pred[:, :, 1, :],

@@ -210,3 +210,34 @@ def test_two_process_multicontroller_lpv_step():
     for c, out in zip(codes, outs):
         assert c == 0, out
         assert "OK pid=" in out, out
+
+
+def test_sharded_dynamic_lane_matches_single_device():
+    """Dynamic lane selection inside the sharded step (shard-local
+    relocalisation, no collectives) must match the single-device step."""
+    import dataclasses
+    from colaborativempc_tpu.config import x0_database
+    from colaborativempc_tpu.geometry import select_lane
+
+    cfg = ExperimentConfig(
+        n_agents=4, N=8, dt=0.025, max_it=10, map_type="Oval2",
+        lane=0, dynamic_lane=True,
+        gains=lpv_gains(), solver=SolverConfig(admm_iters=400))
+    track = make_track(cfg.map_type)
+    # start the fleet in LANE 1 while cfg.lane=0
+    state = init_lpv_fleet(track, dataclasses.replace(cfg, lane=1),
+                           np.asarray(x0_database(cfg.n_agents)))
+
+    ref_state, ref_metrics = make_lpv_fleet_step(track, cfg)(state)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("scen", "agent"))
+    bstate = shard_fleet_state(batch_fleet_state(state, 2), mesh)
+    new_state, metrics = make_sharded_lpv_step(track, cfg, mesh)(bstate)
+
+    for s in range(2):
+        err = np.abs(np.asarray(new_state.x_pred[s])
+                     - np.asarray(ref_state.x_pred)).max()
+        assert err < 5e-4, (s, err)
+    assert np.asarray(metrics.feasible).all()
+    lane, _ = select_lane(track, new_state.x0[0, 0])
+    assert int(lane) == 1
