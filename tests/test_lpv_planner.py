@@ -269,3 +269,24 @@ def test_dynamic_lane_follows_agent():
     assert abs(float(xloc[3])) <= hw + 0.05
     # forward progress continued after the lane switch
     assert float(state.x0[0, 6]) > s_now
+
+
+def test_heterogeneous_fleet_limits():
+    """Per-agent SysLimits arrays (a slow leader being followed): each agent
+    obeys ITS own velocity cap — generalises the reference's fleet-shared
+    sys_lim (base_class.py:30-41) with zero cost for homogeneous fleets."""
+    from colaborativempc_tpu.config import SysLimits
+    from colaborativempc_tpu.runtime import run_lpv_experiment
+
+    cfg = small_cfg(
+        n_agents=2, N=12, dt=0.025, max_it=60, map_type="Highway",
+        limits=SysLimits(vx_ref=np.array([1.2, 3.0]),
+                         max_vel=np.array([1.4, 5.5])))
+    res = run_lpv_experiment(cfg)
+    assert res.feasible.all()
+    vx = res.states[:, :, 0]
+    # the slow leader saturates near ITS cap; the follower tracks ITS ref
+    assert float(vx[10:, 0].max()) < 1.4 + 0.1
+    assert float(vx[-1, 1]) > 1.6          # follower faster than the leader
+    # separation held while the speed difference closes the gap
+    assert res.min_dist_exec.min() > cfg.limits.min_dist * 0.8

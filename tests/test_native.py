@@ -154,3 +154,39 @@ def test_native_nl_matches_jax():
     assert err < 1e-2, err
     err_u = np.abs(u_nat - np.asarray(sol.u_pred)).max()
     assert err_u < 1e-2, err_u
+
+
+def test_native_races_fitted_track():
+    """The native twin consumes spline-fitted (measured-centerline) tracks
+    transparently: `track_table` exports the same lane-major segment table
+    whether the Track came from the analytic database or from
+    geometry/spline.py fit_centerline — cross-validated against the JAX
+    solve on the fitted geometry."""
+    from colaborativempc_tpu.geometry.spline import fit_centerline
+
+    # sample a noisy oval centerline like a recorded drive
+    ref = make_track("oval")
+    s = np.linspace(0.0, float(ref.track_length[0]) - 1e-3, 160)
+    from colaborativempc_tpu.geometry import frenet_to_cartesian
+    xs, ys, _ = frenet_to_cartesian(ref, jnp.asarray(s), jnp.zeros(len(s)))
+    rng = np.random.default_rng(7)
+    xs = np.asarray(xs) + rng.normal(size=len(s)) * 0.003
+    ys = np.asarray(ys) + rng.normal(size=len(s)) * 0.003
+    track = fit_centerline(xs, ys, halfwidth=0.5, closed=True,
+                           n_segments=400)
+
+    gains, lim, mp = lpv_gains(), SysLimits(), ModelParams()
+    N, dt = 12, 0.025
+    x0s = jnp.asarray(x0_database(1), jnp.float32)
+    _, x_pred, u_pred = initialise_agents(track, x0s, N, dt)
+    x0 = x_pred[0][0]
+
+    sol = lpv_solve(track, gains, lim, mp, N, dt, x0, x_pred[0], u_pred[0],
+                    jnp.zeros(2), None, admm_iters=600, eps=1e-6)
+    ok, x_nat, u_nat, _ = native.lpv_solve_native(
+        track, gains, lim, mp, N, dt, np.asarray(x0),
+        np.asarray(x_pred[0]), np.asarray(u_pred[0]), np.zeros(2))
+
+    assert ok and bool(sol.feasible)
+    err = np.abs(x_nat - np.asarray(sol.x_pred)).max()
+    assert err < 5e-3, err
