@@ -54,7 +54,7 @@ def main():
     print(f"steps={res.steps} finished={res.finished} "
           f"feasible={res.feasible.all()} "
           f"min_dist_exec={res.min_dist_exec.min():.3f} "
-          f"mean_step={np.mean(res.step_times[3:]) * 1e3:.1f}ms")
+          f"mean_step={np.mean(res.step_times[3:] if len(res.step_times) > 3 else res.step_times) * 1e3:.1f}ms")
 
 
 if __name__ == "__main__":

@@ -77,7 +77,7 @@ def main():
           f"feasible={res.feasible.all()} "
           f"OCD mean={res.ocd_iterations.mean():.1f} "
           f"min_dist_exec={res.min_dist_exec.min():.3f} "
-          f"mean_step={np.mean(res.step_times[3:]) * 1e3:.1f}ms")
+          f"mean_step={np.mean(res.step_times[3:] if len(res.step_times) > 3 else res.step_times) * 1e3:.1f}ms")
 
 
 if __name__ == "__main__":

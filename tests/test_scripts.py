@@ -1,0 +1,75 @@
+"""End-to-end CLI smoke tests: every user-facing script runs on tiny
+workloads (the reference's validation style is runnable scripts,
+SURVEY.md §4.1 — here they are also part of the formal suite, so a user
+switching from the reference finds every entry point actually working)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+def _run(module_name, argv, monkeypatch):
+    import importlib
+    mod = importlib.import_module(f"colaborativempc_tpu.scripts.{module_name}")
+    monkeypatch.setattr(sys, "argv", ["x"] + argv)
+    mod.main()
+
+
+def test_lpv_main_then_replay_and_model_eval(tmp_path, monkeypatch):
+    out = str(tmp_path / "lpv")
+    _run("lpv_main", ["--agents", "2", "--N", "8", "--steps", "4",
+                      "--dt", "0.025", "--admm-iters", "300",
+                      "--out", out, "--verb", "0"], monkeypatch)
+    assert os.path.exists(os.path.join(out, "csv", "0", "states.dat"))
+    assert os.path.exists(os.path.join(out, "track.png"))
+
+    # replay the run (reference eval_exp) incl. the animation export
+    _run("eval_exp", [out, "--gif", "--every", "2"], monkeypatch)
+    assert os.path.exists(os.path.join(out, "replay.png"))
+    assert os.path.exists(os.path.join(out, "run.gif"))
+
+    # validate the LPV discretisation on the recorded inputs
+    # (reference eval_LPV_model)
+    _run("eval_lpv_model", [out, "--dt", "0.025", "--steps", "3"],
+         monkeypatch)
+
+    # paper-style trajectory overlay from the saved run
+    _run("paper_figs", [out, "--out", str(tmp_path / "figs")], monkeypatch)
+
+
+def test_nl_main_gauss_seidel(tmp_path, monkeypatch):
+    out = str(tmp_path / "nl")
+    _run("nl_main", ["--agents", "2", "--N", "8", "--steps", "3",
+                     "--sweep", "gauss_seidel", "--out", out,
+                     "--verb", "0"], monkeypatch)
+    assert os.path.exists(os.path.join(out, "csv", "0", "OCD_it.dat"))
+    # fast path: derived per-iteration mean, never fabricated rows
+    assert os.path.exists(os.path.join(out, "csv", "0",
+                                       "time_OCD_mean.dat"))
+    assert not os.path.exists(os.path.join(out, "csv", "0", "time_OCD.dat"))
+
+
+def test_monte_carlo_both_pipelines(monkeypatch, capsys):
+    _run("monte_carlo", ["--pipeline", "lpv", "--scenarios", "2",
+                         "--agents", "2", "--N", "8", "--steps", "2"],
+         monkeypatch)
+    _run("monte_carlo", ["--pipeline", "nl", "--scenarios", "2",
+                         "--agents", "2", "--N", "8", "--steps", "2"],
+         monkeypatch)
+    outp = capsys.readouterr().out
+    assert "feasible scenarios: 2/2" in outp
+    assert "OCD iterations/step" in outp
+
+
+def test_battery_lpv(monkeypatch, capsys):
+    _run("experiment_battery", ["--pipeline", "lpv", "--steps", "2",
+                                "--agents", "2", "--N", "8"], monkeypatch)
+    assert "progress=" in capsys.readouterr().out
+
+
+def test_show_maps_and_planes(tmp_path, monkeypatch):
+    _run("show_maps", ["oval", "--out", str(tmp_path)], monkeypatch)
+    assert any(f.endswith(".png") for f in os.listdir(tmp_path))
+    _run("test_planes", ["--out", str(tmp_path)], monkeypatch)
