@@ -85,4 +85,46 @@ for shard in new_state.x_pred.addressable_shards:
     err = max(err, float(np.abs(np.asarray(shard.data) - want).max()))
 assert err < 5e-4, err
 
-print(f"OK pid={pid} err={err:.2e}")
+# the sharded NL-OCD coordination step across the process boundary: the
+# while_loop's agent-axis all_gathers ride intra-process devices, the
+# per-scenario convergence pmin crosses the two controllers
+import dataclasses
+from colaborativempc_tpu.config import nl_gains, OCDConfig
+from colaborativempc_tpu.runtime.ocd import init_nl_fleet, make_nl_ocd_step
+from colaborativempc_tpu.parallel import make_sharded_nl_ocd_step
+
+cfg_nl = dataclasses.replace(
+    cfg, gains=nl_gains(), ocd=OCDConfig(max_it_ocd=8),
+    solver=SolverConfig(admm_iters=100, sqp_iters=1))
+nl_state = init_nl_fleet(track, cfg_nl)
+nl_ref, nl_ref_m = make_nl_ocd_step(track, cfg_nl)(nl_state)
+
+nl_batched = jax.tree.map(
+    lambda x: np.broadcast_to(np.asarray(x)[None], (2,) + x.shape).copy(),
+    nl_state)
+from colaborativempc_tpu.parallel.ocd import place_ocd_batch
+from jax.sharding import PartitionSpec
+
+
+def place_spec(x, spec):
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
+specs = type(nl_state)(
+    x0=P("scen", "agent"), x_pred=P("scen", "agent"),
+    u_pred=P("scen", "agent"), u_old=P("scen", "agent"),
+    lambdas=P("scen"),
+    w=P("scen", "agent"), y=P("scen", "agent"),
+    rho_scale=P("scen", "agent"))
+nl_g = jax.tree.map(place_spec, nl_batched, specs)
+nl_new, nl_m = make_sharded_nl_ocd_step(track, cfg_nl, mesh)(nl_g)
+ref_nl_xp = np.asarray(nl_ref.x_pred)
+err_nl = 0.0
+for shard in nl_new.x_pred.addressable_shards:
+    want = np.broadcast_to(ref_nl_xp[None], (2,) + ref_nl_xp.shape)[
+        shard.index]
+    err_nl = max(err_nl, float(np.abs(np.asarray(shard.data) - want).max()))
+assert err_nl < 2e-3, err_nl
+
+print(f"OK pid={pid} err={err:.2e} err_nl={err_nl:.2e}")
