@@ -102,10 +102,6 @@ nl_ref, nl_ref_m = make_nl_ocd_step(track, cfg_nl)(nl_state)
 nl_batched = jax.tree.map(
     lambda x: np.broadcast_to(np.asarray(x)[None], (2,) + x.shape).copy(),
     nl_state)
-from colaborativempc_tpu.parallel.ocd import place_ocd_batch
-from jax.sharding import PartitionSpec
-
-
 def place_spec(x, spec):
     sh = NamedSharding(mesh, spec)
     return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])

@@ -175,3 +175,27 @@ def test_check_lap_counts():
     assert int(check_lap(t, 0.5 * L)) == 0
     assert int(check_lap(t, 1.5 * L)) == 1
     assert int(check_lap(t, 2.5 * L)) == 2
+
+
+def test_relocalize_preserves_lap_count():
+    """relocalize keeps the lap multiple closest to the old s (the Frenet s
+    is cumulative across laps; the lane-local localisation is not)."""
+    import jax.numpy as jnp
+    from colaborativempc_tpu.geometry import (
+        make_track, frenet_to_cartesian, relocalize, select_lane,
+    )
+
+    track = make_track("oval")
+    L = float(track.track_length[0])
+    s_local = 1.3
+    x, y, th = frenet_to_cartesian(track, s_local, 0.05)
+    for laps in (0, 1, 3):
+        s_old = laps * L + s_local
+        state = jnp.asarray([1.0, 0, 0, 0.0, 0.0, float(th),
+                             s_old, float(x), float(y)], jnp.float32)
+        out = relocalize(track, state, 0)
+        assert abs(float(out[6]) - s_old) < 1e-2, (laps, float(out[6]))
+        assert abs(float(out[3]) - 0.05) < 1e-3
+        lane, out2 = select_lane(track, state)
+        assert int(lane) == 0
+        assert abs(float(out2[6]) - s_old) < 1e-2

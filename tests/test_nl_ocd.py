@@ -446,3 +446,14 @@ def test_gauss_seidel_sweep():
     # fresher neighbour data must not slow coordination down
     assert (res_g.ocd_iterations[3:].mean()
             <= res_j.ocd_iterations[3:].mean() + 0.5)
+
+
+def test_gauss_seidel_hp_opt():
+    """The Gauss-Seidel sweep composes with the hp_opt coupling (planes as
+    decision variables flow through the sequential agent scan)."""
+    cfg = nl_cfg(max_it=10, coupling="hp_opt",
+                 ocd=OCDConfig(max_it_ocd=25, sweep="gauss_seidel"))
+    res = run_nl_experiment(cfg)
+    assert res.steps == 10
+    assert res.feasible.all()
+    assert res.min_dist_exec.min() > cfg.limits.min_dist * 0.8
