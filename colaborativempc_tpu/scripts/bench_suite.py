@@ -63,6 +63,47 @@ def fleet_bench(name, n_agents, N, B, steps_warm=3, admm_iters=300,
     }), flush=True)
 
 
+def nl_fleet_bench(name, n_agents, N, B, steps_warm=2):
+    """Batched NL-OCD throughput: B scenarios of the full coordination
+    loop (SQP solves + dual ascent + per-scenario convergence) advance per
+    step — the reference's headline algorithm, which it runs one fleet at
+    a time at ~0.36 s per OCD iteration (BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+    from colaborativempc_tpu.config import (
+        ExperimentConfig, nl_gains, SolverConfig, OCDConfig,
+    )
+    from colaborativempc_tpu.geometry import make_track
+    from colaborativempc_tpu.runtime.ocd import (
+        init_nl_fleet, make_nl_ocd_step,
+    )
+
+    cfg = ExperimentConfig(
+        n_agents=n_agents, N=N, dt=0.02, map_type="Highway",
+        gains=nl_gains(), ocd=OCDConfig(max_it_ocd=30),
+        solver=SolverConfig(admm_iters=200, sqp_iters=2))
+    track = make_track(cfg.map_type)
+    state = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (B,) + x.shape).copy(),
+        init_nl_fleet(track, cfg))
+    rng = np.random.default_rng(0)
+    dx = rng.normal(size=state.x0.shape) * 0.02
+    dx[..., 3:] = 0.0
+    state = state._replace(x0=state.x0 + jnp.asarray(dx, state.x0.dtype))
+    step = jax.jit(jax.vmap(make_nl_ocd_step(track, cfg)))
+    for _ in range(steps_warm):
+        state, m = step(state)
+    dt_step, (state, m) = timeit(lambda s: step(s), state)
+    its = np.asarray(m.ocd_iterations)
+    print(json.dumps({
+        "config": name, "agents": n_agents, "N": N, "batch": B,
+        "ms_per_step": round(dt_step * 1e3, 2),
+        "fleet_steps_per_sec": round(B / dt_step, 1),
+        "ocd_it_mean": round(float(its.mean()), 1),
+        "feasible": bool(np.asarray(m.feasible).all()),
+    }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -81,6 +122,7 @@ def main():
         # sub-5e-4 digit of a residual tail costs ~2x wall time
         fleet_bench("3-agent long horizon N=125", 3, 125, 64,
                     admm_iters=600, eps=5e-4)
+        nl_fleet_bench("3-agent NL-OCD Monte-Carlo", 3, 20, 64)
 
 
 if __name__ == "__main__":

@@ -445,3 +445,33 @@ def test_admm_solve_pallas_vmem_guard():
         admm_mod.PALLAS_VMEM_BOUND = old
     ref = admm_solve(qp, f32(z0), iters=100, eps=1e-6)
     assert np.allclose(np.asarray(pal.z), np.asarray(ref.z), atol=1e-5)
+
+
+def test_lpv_fleet_step_with_pallas_dispatch():
+    """The SolverConfig.use_pallas product path survives the fleet step's
+    agent vmap (pallas_call's batching rule) and matches the XLA path.
+    Interpreter mode (see test_pallas_affine_kernel_interpret for why)."""
+    from colaborativempc_tpu.config import (
+        ExperimentConfig, lpv_gains, SolverConfig,
+    )
+    from colaborativempc_tpu.geometry import make_track
+    from colaborativempc_tpu.runtime import init_lpv_fleet
+    from colaborativempc_tpu.runtime.simulate import make_lpv_fleet_step
+
+    track = make_track("oval")
+    state = None
+    outs = {}
+    for tag, solver in (
+        ("pallas", SolverConfig(admm_iters=100, use_pallas=True,
+                                pallas_interpret=True)),
+        ("xla", SolverConfig(admm_iters=100)),
+    ):
+        cfg = ExperimentConfig(n_agents=2, N=10, dt=0.025, map_type="oval",
+                               gains=lpv_gains(), solver=solver)
+        if state is None:
+            state = init_lpv_fleet(track, cfg)
+        outs[tag], m = make_lpv_fleet_step(track, cfg)(state)
+        assert np.asarray(m.feasible).all(), tag
+    err = np.abs(np.asarray(outs["pallas"].x_pred)
+                 - np.asarray(outs["xla"].x_pred)).max()
+    assert err < 1e-3, err
