@@ -18,9 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from colaborativempc_tpu.config.params import (
-    ExperimentConfig, Gains, lpv_gains,
-)
+from colaborativempc_tpu.config.params import ExperimentConfig, Gains
 from colaborativempc_tpu.geometry import Track, make_track
 from colaborativempc_tpu.planners.lpv import lpv_solve, LPVSolution
 from colaborativempc_tpu.runtime.simulate import (

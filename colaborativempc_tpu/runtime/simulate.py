@@ -71,7 +71,6 @@ def _per_agent_limits(cfg: ExperimentConfig):
     reference shares one sys_lim across the fleet (base_class.py:30-41) —
     this generalises it with zero cost for the homogeneous case.
     """
-    import numpy as _np
     return jax.tree.map(
         lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.float32),
                                    (cfg.n_agents,)),

@@ -35,7 +35,6 @@ except Exception as e:  # pragma: no cover - environment-dependent
     sys.exit(42)
 
 import numpy as np  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
 
 from colaborativempc_tpu.config import (  # noqa: E402
