@@ -147,7 +147,7 @@ class ExperimentConfig:
     """
     n_agents: int = 3
     N: int = 20                  # prediction horizon
-    coupling: str = "eu"         # NL coupling: "eu" | "hp" 
+    coupling: str = "eu"         # NL coupling: "eu" | "hp" | "hp_opt"
     dt: float = 0.02
     max_it: int = 1000           # outer control-step cap
     map_type: str = "Highway"

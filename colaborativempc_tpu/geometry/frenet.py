@@ -193,18 +193,28 @@ def check_lane(track: Track, x, y, psi):
     return s[best], ey[best], epsi[best], valid[best], best
 
 
-def relocalize(track: Track, x: jnp.ndarray, lane) -> jnp.ndarray:
+def relocalize(track: Track, x: jnp.ndarray, lane,
+               old_lane=None) -> jnp.ndarray:
     """Recompute one 9-state vehicle's Frenet entries (ey, epsi, s) from its
     pose (X, Y, theta) against the given lane, preserving lap continuity:
-    the new s keeps the multiple of the lane length closest to the old s
-    (reference ``set_lane`` re-runs getLocalPosition on the new lane,
+    the new s keeps the lap multiple consistent with the old s (reference
+    ``set_lane`` re-runs getLocalPosition on the new lane,
     ``track_initialization.py:302``). An out-of-lane pose keeps the old
     Frenet entries (the localisation sentinel must not poison the state).
+
+    ``old_lane``: the lane the incoming ``x[6]`` was measured on. When the
+    lanes differ in length, the completed-lap count is derived against the
+    OLD lane's length (with the new lane's fractional progress rescaled
+    proportionally), so after many laps the rounding argument stays ~integer
+    instead of drifting by laps*|L_old-L_new| — which would eventually land
+    on the wrong lap and corrupt check_end counting. Defaults to ``lane``
+    (same-lane re-localisation, e.g. the MPCC driver's per-step projection).
     """
     s_loc, ey, epsi, valid = cartesian_to_frenet(track, x[7], x[8], x[5],
                                                  lane=lane)
     L = track.track_length[lane]
-    k = jnp.round((x[6] - s_loc) / L)
+    L_old = L if old_lane is None else track.track_length[old_lane]
+    k = jnp.round((x[6] - s_loc * L_old / L) / L_old)
     s_new = k * L + s_loc
     x = x.at[3].set(jnp.where(valid, ey, x[3]))
     x = x.at[4].set(jnp.where(valid, epsi, x[4]))
@@ -212,15 +222,17 @@ def relocalize(track: Track, x: jnp.ndarray, lane) -> jnp.ndarray:
     return x
 
 
-def select_lane(track: Track, x: jnp.ndarray):
+def select_lane(track: Track, x: jnp.ndarray, prev_lane=None):
     """Dynamic lane selection for one 9-state vehicle: localise the pose
     against every lane, pick the best (min |ey|) one, and relocalise the
     Frenet entries onto it — the per-step ``checkLane``/``set_lane`` switch
     of the reference (``track_initialization.py:302,418-436``).
     Returns ``(lane, x')``; jit/vmap-safe (lane is a traced int index into
-    the lane-major track tables)."""
+    the lane-major track tables). Pass ``prev_lane`` (the lane ``x[6]`` was
+    measured on) for exact lap bookkeeping when lanes differ in length —
+    see :func:`relocalize`."""
     _, ey, _, _, lane = check_lane(track, x[7], x[8], x[5])
-    return lane, relocalize(track, x, lane)
+    return lane, relocalize(track, x, lane, old_lane=prev_lane)
 
 
 def check_end(track: Track, s, laps: int = 1, lane: int = 0, atol: float = 0.15):

@@ -214,6 +214,39 @@ def pallas_epoch_supported(N: int, nz: int, nc: int, mr: int) -> bool:
     return pallas_vmem_bytes(N, nz, nc, mr) <= PALLAS_VMEM_BOUND
 
 
+def scale_stage_qp(qp: StageQP, tz: jnp.ndarray, tc: jnp.ndarray) -> StageQP:
+    """Diagonal variable scaling of a stage QP: z = diag(tz) z~, c = diag(tc) c~.
+
+    The TPU-native counterpart of the reference MPCC's per-iteration
+    state/input normalisation (``MPCC-master/C++/Params/params.h:31-58``
+    NormalizationParam T_x/T_u; applied at ``MPC/mpc.cpp:91-132``
+    normalizeDynamics/normalizeCost/normalizeCon): solving in the scaled
+    variables keeps the Riccati/ADMM matrices O(1)-conditioned when raw
+    magnitudes span orders of magnitude (1:43-scale cars: I=2.78e-5 vs
+    positions ~1e1). Because the scaling is a pure change of variables,
+    constraint VALUES v = D z + E c are invariant — so ADMM's (w, y,
+    rho_scale) warm starts, residuals and the feasibility tolerance keep
+    their meaning across scaled/unscaled solves. De-normalise a solution
+    with ``z = z~ * tz``, ``c = c~ * tc`` (``mpc.cpp deNormalizeSolution``).
+    """
+    tz = jnp.asarray(tz, qp.lo.dtype)
+    tc = jnp.asarray(tc, qp.lo.dtype)
+    tzi = 1.0 / tz
+    dyn = LQRDynamics(
+        F=tzi[None, :, None] * qp.dyn.F * tz[None, None, :],
+        G=tzi[None, :, None] * qp.dyn.G * tc[None, None, :],
+        d=qp.dyn.d * tzi[None, :])
+    cost = LQRCost(
+        Q=tz[None, :, None] * qp.cost.Q * tz[None, None, :],
+        q=qp.cost.q * tz[None, :],
+        R=tc[None, :, None] * qp.cost.R * tc[None, None, :],
+        r=qp.cost.r * tc[None, :],
+        S=tz[None, :, None] * qp.cost.S * tc[None, None, :])
+    return qp._replace(dyn=dyn, cost=cost,
+                       D=qp.D * tz[None, None, :],
+                       E=qp.E * tc[None, None, :])
+
+
 def admm_solve(qp: StageQP, z0: jnp.ndarray,
                w0: Optional[jnp.ndarray] = None,
                y0: Optional[jnp.ndarray] = None,
@@ -254,7 +287,10 @@ def admm_solve(qp: StageQP, z0: jnp.ndarray,
     amortise the factorisation over more iterations — measured 2x on the
     64-scenario N=125 fleet step and 1.6x on the H=20 headline at the SAME
     residual tolerance (BENCH.md). Very short horizons keep the fast rho
-    adaptation of frequent refactorisation.
+    adaptation of frequent refactorisation. Note ``iters`` rounds DOWN to
+    whole epochs (``iters // epoch_len``), so e.g. ``iters=100`` with the
+    N>=48 default of 30 caps at 90 iterations and rho adapts per 30;
+    budget-sensitive callers should pin ``epoch_len`` explicitly.
     """
     N, m = qp.lo.shape
     if unroll is None:

@@ -5,5 +5,9 @@ from colaborativempc_tpu.planners.nl import (
     NLSolution, build_nl_qp, nl_solve,
 )
 from colaborativempc_tpu.planners.mpcc import (
-    MPCCGains, MPCCSolution, build_mpcc_qp, mpcc_solve,
+    MPCCGains, MPCCBounds, MPCCNormalization, MPCCConfig, MPCCSolution,
+    build_mpcc_qp, mpcc_solve,
+    mpcc_config_from_json, mpcc_config_to_json,
+    pacejka_from_reference, mpcc_gains_from_reference,
+    mpcc_bounds_from_reference,
 )

@@ -8,6 +8,11 @@ from colaborativempc_tpu.runtime.ocd import (
     make_nl_ocd_step, make_nl_ocd_rollout, make_nl_ocd_instrumented,
     init_nl_fleet, run_nl_experiment,
 )
+from colaborativempc_tpu.runtime.racing import (
+    MPCCState, MPCCStepMetrics, MPCCResult,
+    make_mpcc_step, make_mpcc_rollout, init_mpcc,
+    run_mpcc_experiment, load_mpcc_track,
+)
 from colaborativempc_tpu.runtime.io import (
     ExperimentIO, load_lambdas, load_experiment,
 )

@@ -156,6 +156,10 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
     ``IOmodule.updateOCD`` / ``base_class.py`` time_OCD).
     """
     from colaborativempc_tpu.runtime.simulate import _per_agent_limits
+    if cfg.ocd.sweep not in ("jacobi", "gauss_seidel"):
+        raise ValueError(
+            f"OCDConfig.sweep must be 'jacobi' or 'gauss_seidel', got "
+            f"{cfg.ocd.sweep!r}")
     n_ag = cfg.n_agents
     N = cfg.N
     limits_pa = _per_agent_limits(cfg)

@@ -199,3 +199,34 @@ def test_relocalize_preserves_lap_count():
         lane, out2 = select_lane(track, state)
         assert int(lane) == 0
         assert abs(float(out2[6]) - s_old) < 1e-2
+
+
+def test_relocalize_cross_lane_lap_count():
+    """Switching to a lane of DIFFERENT length after several laps keeps the
+    completed-lap count: k is derived against the OLD lane's length with the
+    new lane's fractional progress rescaled proportionally (rounding against
+    the new length alone drifts by laps*|L0-L1| and lands on the wrong lap
+    once that exceeds L1/2)."""
+    import jax.numpy as jnp
+    from colaborativempc_tpu.geometry import (
+        make_track, frenet_to_cartesian, relocalize, select_lane,
+    )
+
+    track = make_track("Oval2")           # lanes of length 26.0 and 19.7
+    L0 = float(track.track_length[0])
+    L1 = float(track.track_length[1])
+    assert abs(L0 - L1) > 1.0
+    laps = 5                              # laps*|L0-L1| = 31.5 >> L1/2
+    frac = 0.12                           # fractional progress around the lap
+    x, y, th = frenet_to_cartesian(track, frac * L1, 0.0, lane=1)
+    s_old = laps * L0 + frac * L0         # measured on lane 0
+    state = jnp.asarray([1.0, 0, 0, 0, 0, float(th),
+                         s_old, float(x), float(y)], jnp.float32)
+    out = relocalize(track, state, 1, old_lane=0)
+    want = laps * L1 + frac * L1
+    assert abs(float(out[6]) - want) < 0.35 * L1, (float(out[6]), want)
+    assert round(float(out[6]) // L1) == laps
+    # select_lane with prev_lane threads the same bookkeeping
+    lane, out2 = select_lane(track, state, prev_lane=0)
+    if int(lane) == 1:
+        assert round(float(out2[6]) // L1) == laps

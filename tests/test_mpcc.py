@@ -1,21 +1,47 @@
-"""MPCC racing planner tests: Pacejka physics + progress maximisation.
+"""MPCC racing planner + closed-loop driver tests.
 
-Native reference analogue: MPCC-master/C++ closed-loop sim (main.cpp) and
-its model/constraint unit tests (Tests/).
+Native reference analogue: MPCC-master/C++ closed-loop sim (main.cpp), the
+MPC driver's warm-start/failure management (MPC/mpc.cpp:135-252), the
+JSON config surface (Params/, main.cpp:33-41) and its model/constraint unit
+tests (Tests/).
 """
+
+import json
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from colaborativempc_tpu.dynamics import (
     PacejkaParams, f_continuous_pacejka, tire_forces,
     friction_ellipse_residual, slip_angle_residuals, linearize_pacejka,
 )
-from colaborativempc_tpu.geometry import make_track, curvature
-from colaborativempc_tpu.planners import MPCCGains, mpcc_solve
+from colaborativempc_tpu.geometry import (
+    make_track, curvature, frenet_to_cartesian, wrap_to_pi,
+)
+from colaborativempc_tpu.planners import (
+    MPCCGains, MPCCBounds, MPCCNormalization, MPCCConfig, mpcc_solve,
+    mpcc_config_from_json, mpcc_config_to_json,
+)
+from colaborativempc_tpu.runtime.racing import (
+    MPCCState, init_mpcc, make_mpcc_step, make_mpcc_rollout,
+    run_mpcc_experiment, load_mpcc_track,
+    _warm_guess, _cold_guess, _relocalize_unwrapped,
+)
 
 P = PacejkaParams()
+REF_MPCC = "/root/reference/Matlab-tests/MPCC-master/C++/Params"
+
+
+def _warm_inputs(N=20, dt=0.05):
+    x = jnp.zeros(9, jnp.float32).at[0].set(0.5)
+    x_bar = jnp.stack([x + jnp.zeros(9)] * (N + 1))
+    s_ramp = jnp.arange(N + 1, dtype=jnp.float32) * 0.5 * dt
+    x_bar = x_bar.at[:, 6].set(s_ramp)
+    u_bar = jnp.zeros((N, 2), jnp.float32).at[:, 1].set(0.2)
+    return x, x_bar, u_bar, jnp.zeros(2, jnp.float32)
 
 
 def test_pacejka_forces_sane():
@@ -48,19 +74,13 @@ def test_pacejka_jacobian_matches_fd():
 
 
 def test_mpcc_closed_loop_races():
-    """Closed loop: the racing planner accelerates, makes progress, stays
-    inside the track band and respects the tire limits."""
+    """Closed loop on the raw per-solve API: the racing planner
+    accelerates, makes progress, stays inside the track band and respects
+    the tire limits."""
     track = make_track("oval_mt")
     gains = MPCCGains()
     N, dt = 20, 0.05
-    # initial state: slow roll at track start
-    x = jnp.zeros(9, jnp.float32).at[0].set(0.5)
-    # warm start: coast forward
-    x_bar = jnp.stack([x + jnp.zeros(9)] * (N + 1))
-    s_ramp = jnp.arange(N + 1, dtype=jnp.float32) * 0.5 * dt
-    x_bar = x_bar.at[:, 6].set(s_ramp)
-    u_bar = jnp.zeros((N, 2), jnp.float32).at[:, 1].set(0.2)
-    u_old = jnp.zeros(2, jnp.float32)
+    x, x_bar, u_bar, u_old = _warm_inputs(N, dt)
 
     solve = jax.jit(lambda x0, xb, ub, uo: mpcc_solve(
         track, gains, P, N, dt, x0, xb, ub, uo))
@@ -78,3 +98,207 @@ def test_mpcc_closed_loop_races():
     assert (np.diff(ss) > -1e-3).all()     # monotone progress
     assert max(abs(e) for e in eys) < 0.5  # inside the track
     assert max(fes) < 0.005                # friction ellipse respected
+
+
+def test_normalized_solve_matches_raw():
+    """The normalisation (params.h:31-58 T_x/T_u) is a pure change of
+    variables: at the 1:43 scale (I=2.78e-5 against O(10) positions) the
+    normalised and raw solves must agree to solver tolerance, both
+    feasible — the float32-conditioning safeguard the reference considered
+    mandatory, verified rather than assumed."""
+    track = make_track("oval_mt")
+    N, dt = 20, 0.05
+    x, x_bar, u_bar, u_old = _warm_inputs(N, dt)
+    norm = MPCCNormalization.default(dt)
+    raw = mpcc_solve(track, MPCCGains(), P, N, dt, x, x_bar, u_bar, u_old,
+                     norm=None)
+    scl = mpcc_solve(track, MPCCGains(), P, N, dt, x, x_bar, u_bar, u_old,
+                     norm=norm)
+    assert bool(raw.feasible) and bool(scl.feasible)
+    assert float(scl.r_prim) < 5e-3
+    np.testing.assert_allclose(np.asarray(scl.x_pred),
+                               np.asarray(raw.x_pred), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(scl.u_pred),
+                               np.asarray(raw.u_pred), atol=2e-2)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_MPCC),
+                    reason="reference MPCC Params not available")
+def test_reference_config_loading():
+    """The reference's own Params/config.json master file loads end to end
+    (main.cpp:33-41): model params, bounds, Ts/n_sqp/sqp_mixing, the
+    normalisation JSON, and the track path."""
+    cfg = mpcc_config_from_json(os.path.join(REF_MPCC, "config.json"))
+    assert cfg.dt == pytest.approx(0.02)
+    assert cfg.n_sqp == 2 and cfg.n_reset == 5
+    assert cfg.sqp_mixing == pytest.approx(0.8)
+    # model.json values (Iz -> I, E_long -> p_long renames)
+    assert cfg.model.m == pytest.approx(0.041)
+    assert cfg.model.I == pytest.approx(27.8e-6)
+    assert cfg.model.p_long == pytest.approx(0.9)
+    assert cfg.model.max_alpha == pytest.approx(0.6)
+    # bounds.json
+    assert cfg.bounds.delta_max == pytest.approx(0.35)
+    assert cfg.bounds.drive_min == pytest.approx(-0.1)
+    assert cfg.track_json is not None and os.path.exists(cfg.track_json)
+    norm = MPCCNormalization.from_reference(
+        os.path.join(REF_MPCC, "normalization.json"), cfg.dt)
+    assert float(norm.t_x[0]) == pytest.approx(3.0)    # vx
+    assert float(norm.t_x[6]) == pytest.approx(20.0)   # s
+    assert float(norm.t_du[0]) == pytest.approx(15.0 * cfg.dt)
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = MPCCConfig(N=12, dt=0.04, n_sqp=2, map_type="oval",
+                     gains=MPCCGains(q_contour=33.0),
+                     bounds=MPCCBounds(delta_max=0.3),
+                     model=PacejkaParams(m=0.05))
+    p = str(tmp_path / "mpcc.json")
+    mpcc_config_to_json(cfg, p)
+    back = mpcc_config_from_json(p)
+    assert back == cfg
+
+
+@pytest.mark.skipif(not os.path.exists(REF_MPCC),
+                    reason="reference MPCC Params not available")
+def test_race_fitted_reference_track():
+    """Library-call closed loop on the reference's own track JSON, driven
+    entirely from its master config.json: progresses, no solver failures,
+    stays within the measured corridor (+slack)."""
+    cfg = mpcc_config_from_json(
+        os.path.join(REF_MPCC, "config.json"),
+        N=16, n_sim=60, verb=0)
+    track = load_mpcc_track(cfg)
+    res = run_mpcc_experiment(cfg, track=track)
+    assert res.steps == 60
+    assert np.all(np.isfinite(res.states))
+    assert res.states[-1, 6] > 0.5             # made progress
+    assert np.all(np.diff(res.states[:, 6]) > -1e-3)
+    assert res.feasible.mean() > 0.9
+    assert int(res.resets.sum()) == 1           # only the initial cold start
+    # corridor: |ey| within the measured half-widths + slack band
+    hw_max = float(jnp.max(track.halfwidth[0]))
+    assert np.max(np.abs(res.states[:, 3])) < hw_max + float(track.slack)
+
+
+def test_warm_guess_shift():
+    """updateInitialGuess (mpc.cpp:135-150): stage 0 pinned to the measured
+    state, interior stages shifted by one, RK4-style tail appended."""
+    track = make_track("oval_mt")
+    cfg = MPCCConfig(N=8, dt=0.05)
+    rng = np.random.default_rng(1)
+    x_bar = jnp.asarray(rng.normal(size=(9, 9)) * 0.1, jnp.float32)
+    x_bar = x_bar.at[:, 0].add(1.0)
+    x_bar = x_bar.at[:, 6].set(jnp.arange(9, dtype=jnp.float32) * 0.05)
+    u_bar = jnp.asarray(rng.normal(size=(8, 2)) * 0.05, jnp.float32)
+    x0 = x_bar[1] + 0.01
+    x_new, u_new = _warm_guess(track, cfg, x0, x_bar, u_bar)
+    np.testing.assert_allclose(np.asarray(x_new[0]), np.asarray(x0))
+    np.testing.assert_allclose(np.asarray(x_new[1:-1]),
+                               np.asarray(x_bar[2:]))
+    np.testing.assert_allclose(np.asarray(u_new[:-1]), np.asarray(u_bar[1:]))
+    assert np.all(np.asarray(u_new[-1]) == 0.0)
+    tail = np.asarray(x_new[-1])
+    assert np.all(np.isfinite(tail))
+    assert tail[6] > float(x_bar[-1, 6])        # the tail advances s
+
+
+def test_cold_guess_on_track():
+    """generateNewInitialGuess (mpc.cpp:175-196): the fresh guess rolls
+    along the centerline at initial_velocity with continuous heading."""
+    track = make_track("oval_mt")
+    cfg = MPCCConfig(N=24, dt=0.05, initial_velocity=1.5)
+    x0 = jnp.zeros(9, jnp.float32).at[0].set(0.3).at[6].set(2.0)
+    px, py, th = frenet_to_cartesian(track, 2.0, 0.0)
+    x0 = x0.at[5].set(th).at[7].set(px).at[8].set(py)
+    x_new, u_new = _cold_guess(track, cfg, x0)
+    np.testing.assert_allclose(np.asarray(x_new[0]), np.asarray(x0))
+    assert np.all(np.asarray(x_new[1:, 0]) == 1.5)
+    np.testing.assert_allclose(
+        np.diff(np.asarray(x_new[:, 6])), 1.5 * 0.05, atol=1e-5)
+    # guess positions lie on the centerline
+    for k in (6, 12, 23):
+        gx, gy, _ = frenet_to_cartesian(track, x_new[k, 6], 0.0)
+        assert abs(float(gx) - float(x_new[k, 7])) < 1e-4
+        assert abs(float(gy) - float(x_new[k, 8])) < 1e-4
+    # heading unwrapped: no 2pi jumps between stages
+    dth = np.diff(np.asarray(x_new[:, 5]))
+    assert np.max(np.abs(dth)) < 0.5
+    assert np.all(np.asarray(u_new) == 0.0)
+
+
+def test_relocalize_unwrapped_lap_seam():
+    """The projection keeps s cumulative across the start/finish seam
+    (mpc.cpp:223-224 porjectOnSpline + unwrap)."""
+    track = make_track("oval_mt")
+    L = float(track.track_length[0])
+    # pose just past the seam, with s_prev just before it (one lap done)
+    s_prev = 2 * L - 0.05
+    px, py, th = frenet_to_cartesian(track, 0.03, 0.1)
+    x = jnp.zeros(9, jnp.float32)
+    x = x.at[5].set(th).at[6].set(s_prev).at[7].set(px).at[8].set(py)
+    x_loc = _relocalize_unwrapped(track, x)
+    assert abs(float(x_loc[6]) - (2 * L + 0.03)) < 5e-3   # NOT wrapped to 0.03
+    assert abs(float(x_loc[3]) - 0.1) < 5e-3              # ey recovered
+    assert abs(float(x_loc[4])) < 5e-3                    # epsi ~ 0
+
+
+def test_failure_reset_recovers():
+    """Solver-failure bookkeeping (mpc.cpp:231-252): a poisoned guess makes
+    the SQP reject every QP; the driver keeps the plant finite, invalidates
+    the guess, cold-starts the next step and the race recovers."""
+    track = make_track("oval_mt")
+    cfg = MPCCConfig(N=12, dt=0.05, n_sqp=2, n_reset=1)
+    step = make_mpcc_step(track, cfg)
+    state = init_mpcc(track, cfg)
+    for _ in range(3):
+        state, m = step(state)
+    assert bool(state.valid_guess)
+    s_before = float(state.x[6])
+
+    # poison the warm start (the stand-in for a hard solver failure)
+    state = state._replace(x_bar=state.x_bar * jnp.nan)
+    state, m = step(state)
+    assert int(m.sqp_fails) == cfg.n_sqp        # every QP rejected
+    assert not bool(state.valid_guess)          # guess invalidated
+    assert np.all(np.isfinite(np.asarray(state.x)))  # plant survived
+
+    # next step cold-starts from the track and the solve recovers
+    state, m = step(state)
+    assert bool(m.reset)
+    assert np.all(np.isfinite(np.asarray(state.x_bar)))
+    assert bool(state.valid_guess)
+    for _ in range(4):
+        state, m = step(state)
+    assert int(state.n_non_solves) == 0
+    assert float(state.x[6]) > s_before         # racing again
+
+
+def test_rollout_scan_matches_step_loop():
+    """make_mpcc_rollout (one scanned device program) equals the per-step
+    host loop exactly."""
+    track = make_track("oval_mt")
+    cfg = MPCCConfig(N=10, dt=0.05)
+    steps = 5
+    s1 = init_mpcc(track, cfg)
+    step = make_mpcc_step(track, cfg)
+    for _ in range(steps):
+        s1, _ = step(s1)
+    s2, metrics = make_mpcc_rollout(track, cfg, steps)(init_mpcc(track, cfg))
+    np.testing.assert_allclose(np.asarray(s1.x), np.asarray(s2.x),
+                               rtol=1e-5, atol=1e-6)
+    assert metrics.s.shape == (steps,)
+
+
+def test_run_mpcc_experiment_lap_termination():
+    """cfg.laps terminates on lap completion with a lap time (the
+    reference's n_sim loop has no termination; this matches the other
+    planner families' checkEnd semantics)."""
+    track = make_track("oval_mt")
+    cfg = MPCCConfig(N=16, dt=0.05, n_sim=400, laps=1, verb=0)
+    res = run_mpcc_experiment(cfg, track=track)
+    L = float(track.track_length[0])
+    assert res.finished
+    assert res.states[-1, 6] >= L
+    assert res.lap_time is not None and res.lap_time > 0
+    assert res.steps < 400
