@@ -177,18 +177,22 @@ def fit_centerline(x, y, halfwidth=0.5, closed: bool | None = None,
     hw = np.broadcast_to(np.atleast_1d(np.asarray(halfwidth, np.float64)),
                          (n,)).copy()
 
-    return Track(
-        x0=jnp.asarray(xs[None, :], dtype),
-        y0=jnp.asarray(ys[None, :], dtype),
-        psi0=jnp.asarray(psis[None, :], dtype),
-        s0=jnp.asarray(s0[None, :], dtype),
-        length=jnp.asarray(seg_len[None, :], dtype),
-        curv=jnp.asarray(curv[None, :], dtype),
-        halfwidth=jnp.asarray(hw[None, :], dtype),
-        track_length=jnp.asarray([total], dtype),
-        open_flag=jnp.asarray(not closed),
-        slack=jnp.asarray(slack, dtype),
-    )
+    # dtype=float64 tables are a real x64 island (utils/precision.py) —
+    # without the scoped flag JAX silently truncates the request to f32
+    from colaborativempc_tpu.utils.precision import dtype_island
+    with dtype_island(dtype):
+        return Track(
+            x0=jnp.asarray(xs[None, :], dtype),
+            y0=jnp.asarray(ys[None, :], dtype),
+            psi0=jnp.asarray(psis[None, :], dtype),
+            s0=jnp.asarray(s0[None, :], dtype),
+            length=jnp.asarray(seg_len[None, :], dtype),
+            curv=jnp.asarray(curv[None, :], dtype),
+            halfwidth=jnp.asarray(hw[None, :], dtype),
+            track_length=jnp.asarray([total], dtype),
+            open_flag=jnp.asarray(not closed),
+            slack=jnp.asarray(slack, dtype),
+        )
 
 
 def halfwidth_from_boundaries(center_xy, inner_xy, outer_xy,

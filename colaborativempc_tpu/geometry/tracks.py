@@ -223,12 +223,15 @@ def make_track(name: str, dtype=jnp.float32) -> Track:
     hw_lane[: hw_arr.shape[0]] = hw_arr
     halfwidth = np.broadcast_to(hw_lane, (len(lanes), nseg)).copy()
 
-    return Track(
-        x0=jnp.asarray(x0, dtype), y0=jnp.asarray(y0, dtype),
-        psi0=jnp.asarray(psi0, dtype), s0=jnp.asarray(s0, dtype),
-        length=jnp.asarray(length, dtype), curv=jnp.asarray(curv, dtype),
-        halfwidth=jnp.asarray(halfwidth, dtype),
-        track_length=jnp.asarray(track_length, dtype),
-        open_flag=jnp.asarray(open_track),
-        slack=jnp.asarray(e["slack"], dtype),
-    )
+    # dtype=float64 tables are a real x64 island (utils/precision.py)
+    from colaborativempc_tpu.utils.precision import dtype_island
+    with dtype_island(dtype):
+        return Track(
+            x0=jnp.asarray(x0, dtype), y0=jnp.asarray(y0, dtype),
+            psi0=jnp.asarray(psi0, dtype), s0=jnp.asarray(s0, dtype),
+            length=jnp.asarray(length, dtype), curv=jnp.asarray(curv, dtype),
+            halfwidth=jnp.asarray(halfwidth, dtype),
+            track_length=jnp.asarray(track_length, dtype),
+            open_flag=jnp.asarray(open_track),
+            slack=jnp.asarray(e["slack"], dtype),
+        )

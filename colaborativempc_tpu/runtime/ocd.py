@@ -539,8 +539,15 @@ def run_nl_experiment(cfg: ExperimentConfig,
                       io=None) -> NLExperimentResult:
     """Closed-loop distributed NL-OCD experiment (reference
     ``NL_EU_N_main.main``)."""
+    from colaborativempc_tpu.utils.precision import dtype_island
+    if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
+        # float64 experiments run as a scoped x64 island (utils/precision.py)
+        with dtype_island(cfg.dtype):
+            return run_nl_experiment(cfg, x0s, lambdas0, track, io)
     if track is None:
-        track = make_track(cfg.map_type)
+        track = make_track(cfg.map_type,
+                           dtype=jnp.float64 if cfg.dtype == "float64"
+                           else jnp.float32)
     state = init_nl_fleet(track, cfg, x0s, lambdas0)
     if cfg.verb_ocd:
         step_inst = make_nl_ocd_instrumented(track, cfg)

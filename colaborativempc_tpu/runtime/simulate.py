@@ -225,8 +225,17 @@ def run_lpv_experiment(cfg: ExperimentConfig,
     from colaborativempc_tpu.runtime.checkpoint import (
         save_checkpoint, load_checkpoint,
     )
+    from colaborativempc_tpu.utils.precision import dtype_island
+    if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
+        # float64 experiments run as a scoped x64 island (the reference's
+        # solvers are f64, LPV_Planner.py:222-239; utils/precision.py)
+        with dtype_island(cfg.dtype):
+            return run_lpv_experiment(cfg, x0s, track, io, checkpoint_path,
+                                      checkpoint_every, profile_dir)
     if track is None:
-        track = make_track(cfg.map_type)
+        track = make_track(cfg.map_type,
+                           dtype=jnp.float64 if cfg.dtype == "float64"
+                           else jnp.float32)
     state = init_lpv_fleet(track, cfg, x0s)
     it = 0
     if checkpoint_path is not None and os.path.exists(checkpoint_path):

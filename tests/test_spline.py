@@ -22,6 +22,15 @@ from colaborativempc_tpu.geometry import (
 REF_TRACK_JSON = "/root/reference/Matlab-tests/MPCC-master/C++/Params/track.json"
 
 
+@pytest.fixture()
+def x64():
+    """Scoped x64 island: these tests exercise REAL float64 tables
+    (utils/precision.py) — queries must trace under the island too."""
+    from colaborativempc_tpu.utils.precision import x64_island
+    with x64_island():
+        yield
+
+
 def _circle_points(R=2.0, n=200, noise=0.0, seed=0):
     rng = np.random.default_rng(seed)
     th = np.linspace(0, 2 * np.pi, n, endpoint=False)
@@ -41,7 +50,7 @@ def test_remove_outliers_reference_rule():
     assert xc[0] == x[0] and xc[-1] == x[-1]  # endpoints always kept
 
 
-def test_fit_circle_geometry_clean():
+def test_fit_circle_geometry_clean(x64):
     """Closed exact circle: arc length and curvature recovered tightly."""
     R = 2.0
     x, y = _circle_points(R=R, n=300)
@@ -54,7 +63,7 @@ def test_fit_circle_geometry_clean():
     assert np.allclose(ks, 1.0 / R, rtol=5e-3)
 
 
-def test_fit_circle_geometry_noisy():
+def test_fit_circle_geometry_noisy(x64):
     """Noisy measured circle: smoothing fit keeps curvature usable."""
     R = 2.0
     x, y = _circle_points(R=R, n=300, noise=1e-3)
@@ -73,7 +82,7 @@ def test_fit_circle_geometry_noisy():
     assert np.abs(rad - R).max() < 5e-3
 
 
-def test_fit_roundtrip_frenet_cartesian():
+def test_fit_roundtrip_frenet_cartesian(x64):
     """(s, ey) -> (x, y, psi) -> (s, ey, epsi) closes to tolerance on a
     fitted track (the VERDICT acceptance identity)."""
     x, y = _circle_points(R=2.0, n=250, noise=5e-4, seed=3)
@@ -95,7 +104,7 @@ def test_fit_roundtrip_frenet_cartesian():
     assert ds.max() < 2e-3
 
 
-def test_fit_open_curve():
+def test_fit_open_curve(x64):
     """Open (non-looping) measured centerline: an S-curve."""
     t = np.linspace(0.0, 6.0, 120)
     x, y = t, 0.8 * np.sin(t)
@@ -113,7 +122,7 @@ def test_fit_open_curve():
     assert np.abs(np.asarray(py) - 0.8 * np.sin(np.asarray(px))).max() < 5e-3
 
 
-def test_project_on_spline_newton_and_reseed():
+def test_project_on_spline_newton_and_reseed(x64):
     R = 2.0
     x, y = _circle_points(R=R, n=300)
     track = fit_centerline(x, y, halfwidth=0.4, n_segments=600,
@@ -144,7 +153,7 @@ def test_boundary_halfwidths():
 
 @pytest.mark.skipif(not os.path.exists(REF_TRACK_JSON),
                     reason="reference checkout not mounted")
-def test_reference_track_json_ingests():
+def test_reference_track_json_ingests(x64):
     """The actual recorded MPCC track (489 measured centerline points with
     inner/outer boundaries) fits, closes, and round-trips."""
     track = track_from_json(REF_TRACK_JSON, n_segments=800,
