@@ -29,14 +29,13 @@ from colaborativempc_tpu.runtime.simulate import (
 )
 
 
-def make_sharded_lpv_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
-                          scen_axis: str = "scen",
-                          agent_axis: str = "agent"):
-    """Build the sharded one-control-step function for batched fleets.
-
-    Operates on a scenario-batched FleetState whose arrays carry a leading
-    scenario dimension: x0 (S, n_ag, 9), x_pred (S, n_ag, N+1, 9), ...
-    Returns a jitted function state -> (state, metrics).
+def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
+                       scen_axis: str, agent_axis: str):
+    """Shared machinery for the sharded LPV entry points: the shard-local
+    one-step body plus the state/metrics partition specs.
+    ``make_sharded_lpv_step`` shard_maps the body directly;
+    ``make_sharded_lpv_rollout`` wraps it in a ``lax.scan`` INSIDE the
+    shard_map so a whole fixed-step experiment is ONE device program.
     """
     gains = cfg.gains if cfg.gains is not None else lpv_gains()
     n_ag = cfg.n_agents
@@ -144,10 +143,56 @@ def make_sharded_lpv_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
         min_dist=P(scen_axis),
         min_dist_exec=P(scen_axis),
         slack_max=P(scen_axis, agent_axis))
+    return local_step, state_spec, metrics_spec
 
+
+def make_sharded_lpv_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
+                          scen_axis: str = "scen",
+                          agent_axis: str = "agent"):
+    """Build the sharded one-control-step function for batched fleets.
+
+    Operates on a scenario-batched FleetState whose arrays carry a leading
+    scenario dimension: x0 (S, n_ag, 9), x_pred (S, n_ag, N+1, 9), ...
+    Returns a jitted function state -> (state, metrics).
+    """
+    local_step, state_spec, metrics_spec = _sharded_lpv_parts(
+        track, cfg, scen_axis, agent_axis)
     sharded = jax.shard_map(local_step, mesh=mesh,
                             in_specs=(state_spec,),
                             out_specs=(state_spec, metrics_spec))
+    return jax.jit(sharded)
+
+
+def make_sharded_lpv_rollout(track: Track, cfg: ExperimentConfig, mesh: Mesh,
+                             steps: int,
+                             scen_axis: str = "scen",
+                             agent_axis: str = "agent"):
+    """Fixed-step sharded closed-loop rollout: ``lax.scan`` over control
+    steps INSIDE the shard_map, so a multi-chip Monte-Carlo/battery chunk is
+    ONE device program with no host dispatch between steps — the sharded
+    twin of ``runtime.simulate.make_lpv_fleet_rollout`` (round-2 verdict:
+    per-step sharded loops paid one dispatch per control step, exactly the
+    cost the scanned rollouts were built to remove).
+
+    Returns a jitted ``state -> (final_state, metrics)`` with ``(steps,
+    ...)`` leading time axes on the metrics (time is unsharded: the metric
+    specs gain a leading None).
+    """
+    local_step, state_spec, metrics_spec = _sharded_lpv_parts(
+        track, cfg, scen_axis, agent_axis)
+
+    def local_roll(state: FleetState):
+        def body(st, _):
+            st2, m = local_step(st)
+            return st2, m
+        return jax.lax.scan(body, state, None, length=steps)
+
+    scan_metrics_spec = jax.tree.map(
+        lambda spec: P(*((None,) + tuple(spec))), metrics_spec,
+        is_leaf=lambda x: isinstance(x, P))
+    sharded = jax.shard_map(local_roll, mesh=mesh,
+                            in_specs=(state_spec,),
+                            out_specs=(state_spec, scan_metrics_spec))
     return jax.jit(sharded)
 
 

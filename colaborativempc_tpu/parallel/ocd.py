@@ -55,10 +55,10 @@ class _ShardedLoopState(NamedTuple):
     all_done: jnp.ndarray    # () int32, replicated over the mesh
 
 
-def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
-                             scen_axis: str = "scen",
-                             agent_axis: str = "agent"):
-    """Sharded one-control-step (full OCD inner loop) for batched fleets.
+def _sharded_ocd_parts(track: Track, cfg: ExperimentConfig,
+                       scen_axis: str, agent_axis: str):
+    """Shared machinery for the sharded OCD entry points: the shard-local
+    one-control-step body (full OCD inner while_loop) plus partition specs.
 
     State arrays carry a leading scenario axis: x0 (S, n_ag, 9), ...,
     lambdas (S, n_ag, n_ag, N) [sharded over scenarios, replicated over
@@ -275,10 +275,51 @@ def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
         feasible=P(scen_axis, agent_axis),
         min_dist=P(scen_axis), min_dist_exec=P(scen_axis),
         lambda_max=P(scen_axis))
+    return local_step, state_spec, metrics_spec
 
+
+def make_sharded_nl_ocd_step(track: Track, cfg: ExperimentConfig, mesh: Mesh,
+                             scen_axis: str = "scen",
+                             agent_axis: str = "agent"):
+    """Sharded one-control-step (full OCD inner loop) for batched fleets.
+    Returns a jitted ``state -> (state, metrics)``."""
+    local_step, state_spec, metrics_spec = _sharded_ocd_parts(
+        track, cfg, scen_axis, agent_axis)
     sharded = jax.shard_map(local_step, mesh=mesh,
                             in_specs=(state_spec,),
                             out_specs=(state_spec, metrics_spec))
+    return jax.jit(sharded)
+
+
+def make_sharded_nl_ocd_rollout(track: Track, cfg: ExperimentConfig,
+                                mesh: Mesh, steps: int,
+                                scen_axis: str = "scen",
+                                agent_axis: str = "agent"):
+    """Fixed-step sharded NL-OCD rollout: ``lax.scan`` over control steps
+    INSIDE the shard_map (each scanned step runs the full coordination
+    while_loop with per-scenario convergence), so multi-chip Monte-Carlo/
+    battery sweeps are ONE device program — the sharded twin of
+    ``runtime.ocd.make_nl_ocd_rollout`` (round-2 verdict item: the per-step
+    sharded path paid one host dispatch per control step).
+
+    Returns a jitted ``state -> (final_state, metrics)`` with ``(steps,
+    ...)`` leading time axes on the metrics.
+    """
+    local_step, state_spec, metrics_spec = _sharded_ocd_parts(
+        track, cfg, scen_axis, agent_axis)
+
+    def local_roll(state: OCDFleetState):
+        def body(st, _):
+            st2, m = local_step(st)
+            return st2, m
+        return jax.lax.scan(body, state, None, length=steps)
+
+    scan_metrics_spec = jax.tree.map(
+        lambda spec: P(*((None,) + tuple(spec))), metrics_spec,
+        is_leaf=lambda x: isinstance(x, P))
+    sharded = jax.shard_map(local_roll, mesh=mesh,
+                            in_specs=(state_spec,),
+                            out_specs=(state_spec, scan_metrics_spec))
     return jax.jit(sharded)
 
 

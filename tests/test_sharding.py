@@ -241,3 +241,69 @@ def test_sharded_dynamic_lane_matches_single_device():
     assert np.asarray(metrics.feasible).all()
     lane, _ = select_lane(track, new_state.x0[0, 0])
     assert int(lane) == 1
+
+
+def test_sharded_lpv_rollout_matches_per_step():
+    """The scanned sharded rollout (ONE device program for all control
+    steps) equals the per-step sharded loop exactly — the round-2 verdict's
+    multi-chip dispatch-cost item."""
+    from colaborativempc_tpu.parallel import make_sharded_lpv_rollout
+
+    cfg = _cfg()
+    track = make_track(cfg.map_type)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("scen", "agent"))
+    steps = 3
+
+    s1 = shard_fleet_state(batch_fleet_state(init_lpv_fleet(track, cfg), 2),
+                           mesh)
+    step = make_sharded_lpv_step(track, cfg, mesh)
+    per_step_metrics = []
+    for _ in range(steps):
+        s1, m = step(s1)
+        per_step_metrics.append(m)
+
+    s2 = shard_fleet_state(batch_fleet_state(init_lpv_fleet(track, cfg), 2),
+                           mesh)
+    s2, metrics = make_sharded_lpv_rollout(track, cfg, mesh, steps)(s2)
+
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    assert metrics.feasible.shape[0] == steps
+    np.testing.assert_allclose(
+        np.asarray(metrics.min_dist[-1]),
+        np.asarray(per_step_metrics[-1].min_dist), atol=1e-6)
+
+
+def test_sharded_ocd_rollout_matches_per_step():
+    """Scanned sharded NL-OCD rollout (full coordination while_loop inside
+    each scanned step) equals the per-step sharded loop."""
+    from colaborativempc_tpu.config import nl_gains, OCDConfig
+    from colaborativempc_tpu.runtime.ocd import init_nl_fleet
+    from colaborativempc_tpu.parallel import (
+        make_sharded_nl_ocd_step, make_sharded_nl_ocd_rollout,
+        shard_ocd_state,
+    )
+
+    cfg = ExperimentConfig(
+        n_agents=4, N=8, dt=0.02, max_it=5, map_type="oval",
+        gains=nl_gains(), ocd=OCDConfig(max_it_ocd=10),
+        solver=SolverConfig(admm_iters=120, sqp_iters=1))
+    track = make_track(cfg.map_type)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("scen", "agent"))
+    steps = 2
+
+    s1 = shard_ocd_state(init_nl_fleet(track, cfg), 2, mesh)
+    step = make_sharded_nl_ocd_step(track, cfg, mesh)
+    for _ in range(steps):
+        s1, m1 = step(s1)
+
+    s2 = shard_ocd_state(init_nl_fleet(track, cfg), 2, mesh)
+    s2, metrics = make_sharded_nl_ocd_rollout(track, cfg, mesh, steps)(s2)
+
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    assert metrics.ocd_iterations.shape[0] == steps
+    np.testing.assert_array_equal(np.asarray(metrics.ocd_iterations[-1]),
+                                  np.asarray(m1.ocd_iterations))
