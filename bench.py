@@ -28,7 +28,8 @@ def main():
     from colaborativempc_tpu.runtime.simulate import make_lpv_fleet_rollout
     from colaborativempc_tpu.parallel import batch_fleet_state
 
-    B = 64          # scenario batch per chip
+    B = 256         # scenario batch per chip (saturation knee, BENCH.md:
+                    # 64->19.3k, 256->19.8k, 512->15.8k solves/s)
     N_AGENTS = 3
     H = 20
     STEPS = 20

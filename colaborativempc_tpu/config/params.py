@@ -124,6 +124,14 @@ class SolverConfig(NamedTuple):
     rho: float = 10.0           # ADMM penalty (plain box rows)
     eps: float = 1e-4           # ADMM residual tolerance (OSQP eps_abs~1e-3)
     alpha_relax: float = 1.6    # ADMM over-relaxation
+    # Riccati/epoch scheduling (None = the N-dependent defaults in
+    # ops/admm.py admm_solve): refactorisation epoch length, stage-scan
+    # unroll, and the parallel-in-horizon associative-scan path (log-depth,
+    # ~3x FLOPs — wins for LATENCY-bound single-fleet long horizons; the
+    # sequential scan wins for throughput-bound batches)
+    epoch_len: Optional[int] = None
+    unroll: Optional[int] = None
+    assoc: bool = False
     sqp_iters: int = 3          # SQP outer iterations (1 = RTI mode)
     line_search: float = 0.7    # SQP solution blending (C++ MPCC sqp_mixing)
     u_trust_delta: float = 0.06  # SQP trust region on steering

@@ -53,7 +53,9 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
             alpha_relax=cfg.solver.alpha_relax,
             eps=cfg.solver.eps, lane=lane,
             use_pallas=cfg.solver.use_pallas,
-            pallas_interpret=cfg.solver.pallas_interpret)
+            pallas_interpret=cfg.solver.pallas_interpret,
+            epoch_len=cfg.solver.epoch_len, unroll=cfg.solver.unroll,
+            assoc=cfg.solver.assoc)
 
     def local_step(state: FleetState):
         # local shapes: (S_l, A_l, ...)

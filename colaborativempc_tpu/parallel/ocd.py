@@ -89,7 +89,9 @@ def _sharded_ocd_parts(track: Track, cfg: ExperimentConfig,
             alpha_relax=cfg.solver.alpha_relax, eps=cfg.solver.eps,
             planes0=pl,
             use_pallas=cfg.solver.use_pallas,
-            pallas_interpret=cfg.solver.pallas_interpret)
+            pallas_interpret=cfg.solver.pallas_interpret,
+            epoch_len=cfg.solver.epoch_len, unroll=cfg.solver.unroll,
+            assoc=cfg.solver.assoc)
 
     # static neighbour-id table: nbs[i] = the ids every agent i solves
     # against, in its local ordering (matches the rolled gather below)

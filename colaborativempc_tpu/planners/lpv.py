@@ -199,7 +199,9 @@ def lpv_solve(track: Track, gains: Gains, limits: SysLimits,
               alpha_relax: float = 1.6,
               eps: float = 1e-4, lane: int = 0,
               use_pallas: bool = False,
-              pallas_interpret: bool = False) -> LPVSolution:
+              pallas_interpret: bool = False,
+              epoch_len=None, unroll=None,
+              assoc: bool = False) -> LPVSolution:
     """One LPV-MPC solve (the reference ``PlannerLPV.solve``, :115-182).
 
     Args:
@@ -233,7 +235,9 @@ def lpv_solve(track: Track, gains: Gains, limits: SysLimits,
                                    iters=admm_iters, rho=rho,
                                    alpha=alpha_relax, eps=eps,
                                    use_pallas=use_pallas,
-                                   pallas_interpret=pallas_interpret)
+                                   pallas_interpret=pallas_interpret,
+                                   epoch_len=epoch_len, unroll=unroll,
+                                   assoc=assoc)
 
     x_pred = sol.z[:, :NX]
     u_pred = sol.z[1:, NX:]

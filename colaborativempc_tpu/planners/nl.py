@@ -341,7 +341,9 @@ def nl_solve(track: Track, gains: Gains, limits: SysLimits,
              eps: float = 1e-4,
              planes0: Optional[jnp.ndarray] = None,
              use_pallas: bool = False,
-             pallas_interpret: bool = False) -> NLSolution:
+             pallas_interpret: bool = False,
+             epoch_len=None, unroll=None,
+             assoc: bool = False) -> NLSolution:
     """One nonlinear OCD sub-problem solve (reference PlannerEu.solve).
 
     SQP: linearise -> stage QP -> ADMM, ``sqp_iters`` times, with convex
@@ -369,7 +371,8 @@ def nl_solve(track: Track, gains: Gains, limits: SysLimits,
         sol = admm_solve(qp, z0, w0=w, y0=y, rho_scale0=rs,
                          iters=admm_iters, rho=rho, alpha=alpha_relax,
                          eps=eps, use_pallas=use_pallas,
-                         pallas_interpret=pallas_interpret)
+                         pallas_interpret=pallas_interpret,
+                         epoch_len=epoch_len, unroll=unroll, assoc=assoc)
         x_new = sol.z[:, :NX]
         u_new = sol.z[1:, NX:]
         x_mix = sqp_mix * x_new + (1.0 - sqp_mix) * x_lin

@@ -184,7 +184,9 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
             alpha_relax=cfg.solver.alpha_relax, eps=cfg.solver.eps,
             planes0=pl,
             use_pallas=cfg.solver.use_pallas,
-            pallas_interpret=cfg.solver.pallas_interpret)
+            pallas_interpret=cfg.solver.pallas_interpret,
+            epoch_len=cfg.solver.epoch_len, unroll=cfg.solver.unroll,
+            assoc=cfg.solver.assoc)
 
     def prepare(state: OCDFleetState) -> OCDFleetState:
         """Per-control-step dynamic lane switch (reference set_lane/

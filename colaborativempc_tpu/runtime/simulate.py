@@ -98,7 +98,9 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
             alpha_relax=cfg.solver.alpha_relax,
             eps=cfg.solver.eps, lane=lane,
             use_pallas=cfg.solver.use_pallas,
-            pallas_interpret=cfg.solver.pallas_interpret)
+            pallas_interpret=cfg.solver.pallas_interpret,
+            epoch_len=cfg.solver.epoch_len, unroll=cfg.solver.unroll,
+            assoc=cfg.solver.assoc)
 
     def step(state: FleetState):
         if cfg.dynamic_lane:
@@ -232,6 +234,17 @@ def run_lpv_experiment(cfg: ExperimentConfig,
         with dtype_island(cfg.dtype):
             return run_lpv_experiment(cfg, x0s, track, io, checkpoint_path,
                                       checkpoint_every, profile_dir)
+    if cfg.solver.epoch_len is None and cfg.N >= 48:
+        # single-fleet latency schedule: this host-loop entry point runs ONE
+        # fleet per step, where frequent rho adaptation (short epochs)
+        # roughly halves iteration counts — measured p95 143 ms vs 237 ms at
+        # N=125 (BENCH.md). Batched/sharded paths keep the long-epoch
+        # throughput default (the batch pays its slowest problem's epochs,
+        # so amortising the refactorisation wins there). Same eps, same
+        # feasibility; pin solver.epoch_len to override.
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, solver=cfg.solver._replace(epoch_len=15))
     if track is None:
         track = make_track(cfg.map_type,
                            dtype=jnp.float64 if cfg.dtype == "float64"

@@ -107,7 +107,29 @@ def nl_fleet_bench(name, n_agents, N, B, steps_warm=2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke-test shapes (test suite / CI)")
+    ap.add_argument("--saturation", action="store_true",
+                    help="batch-saturation study: solves/s vs batch for the "
+                    "headline and N=125 shapes (BENCH.md table)")
+    ap.add_argument("--batches", default="64,128,256,512,1024",
+                    help="batch sizes for --saturation")
     args = ap.parse_args()
+
+    if args.tiny:
+        fleet_bench("tiny LPV smoke", 2, 8, 4, admm_iters=100)
+        nl_fleet_bench("tiny NL smoke", 2, 8, 2)
+        return
+
+    if args.saturation:
+        for B in [int(b) for b in args.batches.split(",")]:
+            fleet_bench(f"headline 3-agent H=20 B={B}", 3, 20, B)
+        for B in [int(b) for b in args.batches.split(",")]:
+            if B > 512:
+                continue  # N=125 at B>512 exceeds sane HBM working sets
+            fleet_bench(f"long-horizon 3-agent N=125 B={B}", 3, 125, B,
+                        admm_iters=600, eps=5e-4)
+        return
 
     # BASELINE.json configs, scaled to one chip
     fleet_bench("1-agent LPV H=10 oval", 1, 10, 256, map_type="oval")

@@ -73,3 +73,43 @@ def test_show_maps_and_planes(tmp_path, monkeypatch):
     _run("show_maps", ["oval", "--out", str(tmp_path)], monkeypatch)
     assert any(f.endswith(".png") for f in os.listdir(tmp_path))
     _run("test_planes", ["--out", str(tmp_path)], monkeypatch)
+
+
+def test_mpcc_main(tmp_path, monkeypatch, capsys):
+    out = str(tmp_path / "mpcc")
+    _run("mpcc_main", ["--map", "oval_mt", "--N", "10", "--steps", "4",
+                       "--out", out, "--save", "--verb", "0"], monkeypatch)
+    assert "steps=4" in capsys.readouterr().out
+    assert os.path.exists(os.path.join(out, "csv", "0", "states.dat"))
+
+
+def test_compare_reference_mock_golden(tmp_path, monkeypatch, capsys):
+    """compare_reference is the parity-evidence generator (PARITY.md); smoke
+    it against a mock golden run in the reference's on-disk schema."""
+    golden = tmp_path / "mock_golden"
+    # build the mock from an actual tiny run so trajectories are sane
+    out = str(tmp_path / "gen")
+    _run("lpv_main", ["--agents", "2", "--N", "8", "--steps", "6",
+                      "--dt", "0.025", "--admm-iters", "200",
+                      "--out", out, "--verb", "0"], monkeypatch)
+    import shutil
+    for a in range(2):
+        d = golden / "csv" / str(a)
+        d.mkdir(parents=True)
+        shutil.copy(os.path.join(out, "csv", str(a), "states.dat"),
+                    d / "states.dat")
+    with open(golden / "settings.csv", "w") as f:
+        f.write("n_agents,2\nN,8\ndt,0.025\nmap_type,Highway\n"
+                "vx_ref,3.0\nmin_dist,0.25\n")
+    _run("compare_reference", ["--ref", str(golden), "--steps", "5",
+                               "--short", "3"], monkeypatch)
+    outp = capsys.readouterr().out
+    assert "behavioural deltas" in outp
+    assert "short-horizon" in outp
+
+
+def test_bench_suite_tiny(monkeypatch, capsys):
+    _run("bench_suite", ["--tiny"], monkeypatch)
+    outp = capsys.readouterr().out
+    assert "solves_per_sec" in outp
+    assert "fleet_steps_per_sec" in outp
