@@ -170,3 +170,82 @@ def run_nl_battery(cfg: ExperimentConfig, grid: Sequence[Gains],
         ocd_iterations=np.moveaxis(np.asarray(m.ocd_iterations), 0, 1),
         progress=states_h[-1, :, :, 6].mean(axis=-1),
         n_configs=n_cfg)
+
+
+# ---------------------------------------------------------------------------
+# MPCC racing battery: gain sweeps as a vmapped batch of closed-loop races
+# ---------------------------------------------------------------------------
+
+def mpcc_gain_grid(base, q_contour=None, q_progress=None, dr_scale=None):
+    """Cartesian grid over the racing trade-off knobs (contouring accuracy
+    vs progress reward vs input smoothness) — the reference tunes these by
+    hand-editing cost.json and re-running the binary (main.cpp)."""
+    from colaborativempc_tpu.planners.mpcc import MPCCGains
+    q_contour = q_contour if q_contour is not None else [base.q_contour]
+    q_progress = q_progress if q_progress is not None else [base.q_progress]
+    dr_scale = dr_scale if dr_scale is not None else [1.0]
+    out = []
+    for qc, qp, drs in itertools.product(q_contour, q_progress, dr_scale):
+        out.append(base._replace(q_contour=float(qc), q_progress=float(qp),
+                                 dr_delta=base.dr_delta * drs,
+                                 dr_drive=base.dr_drive * drs))
+    return out
+
+
+class MPCCBatteryResult(NamedTuple):
+    s_hist: np.ndarray        # (T, n_cfg) progress per step
+    vx_hist: np.ndarray       # (T, n_cfg)
+    ey_hist: np.ndarray       # (T, n_cfg)
+    feasible_frac: np.ndarray  # (n_cfg,)
+    resets: np.ndarray        # (n_cfg,) cold-start count (beyond the first)
+    progress: np.ndarray      # (n_cfg,) final s
+    lap_time: np.ndarray      # (n_cfg,) first-lap time [s]; nan = no lap
+    n_configs: int
+
+
+def run_mpcc_battery(cfg, grid, steps: int,
+                     track=None) -> MPCCBatteryResult:
+    """Race every gain combination simultaneously: the closed-loop driver
+    (warm/cold start, failure reset, RK4 plant — runtime/racing.py) scanned
+    over control steps and vmapped over the gain grid, ONE device program.
+    The reference tunes its racing controller one serial binary run at a
+    time; here a whole tuning grid costs one race's wall time."""
+    from colaborativempc_tpu.runtime.racing import (
+        _make_mpcc_step_fn, init_mpcc, load_mpcc_track,
+    )
+    if track is None:
+        track = load_mpcc_track(cfg)
+    n_cfg = len(grid)
+    gains_batch = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x, jnp.float32) for x in xs]),
+        *grid)
+    step_fn = _make_mpcc_step_fn(track, cfg)
+
+    def race(gains, state):
+        def body(st, _):
+            st2, m = step_fn(gains, st)
+            return st2, m
+        return jax.lax.scan(body, state, None, length=steps)
+
+    state0 = init_mpcc(track, cfg)
+    states = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (n_cfg,) + x.shape).copy(),
+        state0)
+    final, metrics = jax.jit(jax.vmap(race))(gains_batch, states)
+
+    s_hist = np.asarray(metrics.s).T           # (T, n_cfg)
+    L = float(track.track_length[0])
+    lap_time = np.full(n_cfg, np.nan)
+    for c in range(n_cfg):
+        hit = np.nonzero(s_hist[:, c] >= L)[0]
+        if hit.size:
+            lap_time[c] = (hit[0] + 1) * cfg.dt
+    return MPCCBatteryResult(
+        s_hist=s_hist,
+        vx_hist=np.asarray(metrics.vx).T,
+        ey_hist=np.asarray(metrics.ey).T,
+        feasible_frac=np.asarray(metrics.feasible).mean(axis=1),
+        resets=np.asarray(metrics.reset).sum(axis=1) - 1,
+        progress=np.asarray(final.x[:, 6]),
+        lap_time=lap_time,
+        n_configs=n_cfg)

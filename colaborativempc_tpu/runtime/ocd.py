@@ -546,6 +546,14 @@ def run_nl_experiment(cfg: ExperimentConfig,
         # float64 experiments run as a scoped x64 island (utils/precision.py)
         with dtype_island(cfg.dtype):
             return run_nl_experiment(cfg, x0s, lambdas0, track, io)
+    if cfg.solver.epoch_len is None and cfg.N >= 48:
+        # single-fleet latency schedule (same rationale as
+        # run_lpv_experiment): frequent rho adaptation cuts N=125 OCD
+        # control steps from p50 279 / p95 695 ms to p50 261 / p95 524 ms
+        # (BENCH.md); batched/sharded paths keep the throughput default.
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, solver=cfg.solver._replace(epoch_len=15))
     if track is None:
         track = make_track(cfg.map_type,
                            dtype=jnp.float64 if cfg.dtype == "float64"

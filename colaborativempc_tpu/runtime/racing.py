@@ -157,14 +157,15 @@ def _plant_rk4(track: Track, cfg: MPCCConfig, x: jnp.ndarray,
     return x_new
 
 
-def make_mpcc_step(track: Track, cfg: MPCCConfig):
-    """Build the jitted one-control-step function:
-    ``MPCCState -> (MPCCState, MPCCStepMetrics)`` (the body of
-    mpc.cpp runMPC + one main.cpp sim step)."""
+def _make_mpcc_step_fn(track: Track, cfg: MPCCConfig):
+    """The one-control-step body with the racing GAINS as a traced argument
+    ``(gains, state) -> (state, metrics)`` — lets gain sweeps become a
+    vmapped batch axis (run_mpcc_battery) while ``make_mpcc_step`` closes
+    over the config's gains for the single-race driver."""
     norm = cfg.normalization()
     hard_fail_thresh = max(cfg.n_sqp - 1, 1)   # mpc.cpp:244
 
-    def step(state: MPCCState):
+    def step(gains: MPCCGains, state: MPCCState):
         x0 = _relocalize_unwrapped(track, state.x)
 
         x_bar, u_bar = jax.lax.cond(
@@ -178,7 +179,7 @@ def make_mpcc_step(track: Track, cfg: MPCCConfig):
                         jnp.ones_like(state.rho_scale))
 
         sol: MPCCSolution = mpcc_solve(
-            track, cfg.gains, cfg.model, cfg.N, cfg.dt,
+            track, gains, cfg.model, cfg.N, cfg.dt,
             x0, x_bar, u_bar, state.u_old,
             sqp_iters=cfg.n_sqp, sqp_mix=cfg.sqp_mixing,
             admm_iters=cfg.admm_iters, rho=cfg.rho,
@@ -213,7 +214,15 @@ def make_mpcc_step(track: Track, cfg: MPCCConfig):
             s=x_next[6], vx=x_next[0], ey=x_next[3])
         return new_state, metrics
 
-    return jax.jit(step)
+    return step
+
+
+def make_mpcc_step(track: Track, cfg: MPCCConfig):
+    """Build the jitted one-control-step function:
+    ``MPCCState -> (MPCCState, MPCCStepMetrics)`` (the body of
+    mpc.cpp runMPC + one main.cpp sim step)."""
+    step_fn = _make_mpcc_step_fn(track, cfg)
+    return jax.jit(lambda state: step_fn(cfg.gains, state))
 
 
 def make_mpcc_rollout(track: Track, cfg: MPCCConfig, steps: int):

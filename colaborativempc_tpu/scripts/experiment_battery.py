@@ -15,9 +15,13 @@ setup_backend()
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pipeline", choices=("nl", "lpv"), default="nl",
+    ap.add_argument("--pipeline", choices=("nl", "lpv", "mpcc"),
+                    default="nl",
                     help="nl: full OCD coordination per step (reference "
-                         "battery); lpv: decentralised LPV step")
+                         "battery); lpv: decentralised LPV step; mpcc: "
+                         "racing gain sweep (whole tuning grid races "
+                         "simultaneously — the reference re-runs its "
+                         "binary per hand-edited cost.json)")
     ap.add_argument("--steps", type=int, default=80)
     ap.add_argument("--agents", type=int, default=3)
     ap.add_argument("--N", type=int, default=20)
@@ -33,7 +37,30 @@ def main():
         ExperimentConfig, lpv_gains, nl_gains, SolverConfig, OCDConfig,
     )
     from colaborativempc_tpu.runtime import gain_grid, run_lpv_battery
-    from colaborativempc_tpu.runtime.battery import run_nl_battery
+    from colaborativempc_tpu.runtime.battery import (
+        run_nl_battery, run_mpcc_battery, mpcc_gain_grid,
+    )
+
+    if args.pipeline == "mpcc":
+        import numpy as np
+        from colaborativempc_tpu.planners.mpcc import MPCCConfig, MPCCGains
+        cfg = MPCCConfig(N=args.N, dt=0.05, map_type=args.map
+                         if args.map != "Highway" else "oval_mt")
+        grid = mpcc_gain_grid(MPCCGains(),
+                              q_contour=[20.0, 50.0, 120.0],
+                              q_progress=[0.5, 1.0, 2.0],
+                              dr_scale=[0.5, 1.0])
+        print(f"racing {len(grid)} gain combinations x {args.steps} steps "
+              f"in one vmapped batch")
+        res = run_mpcc_battery(cfg, grid, steps=args.steps)
+        for i, g in enumerate(grid):
+            lap = (f"lap={res.lap_time[i]:.2f}s"
+                   if np.isfinite(res.lap_time[i]) else "no lap")
+            print(f"cfg {i:2d}: qc={g.q_contour:6.1f} qp={g.q_progress:4.1f}"
+                  f" dr={g.dr_delta:5.1f} -> progress={res.progress[i]:.2f}m"
+                  f" |ey|max={np.abs(res.ey_hist[:, i]).max():.3f}"
+                  f" feas={res.feasible_frac[i]:.2f} {lap}")
+        return
 
     if args.pipeline == "nl":
         horizons = ([int(x) for x in args.horizons.split(",")]

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--map", default="Highway")
     ap.add_argument("--noise", type=float, default=0.05,
                     help="x0 perturbation scale")
+    ap.add_argument("--mesh", default=None, metavar="SxA",
+                    help="run sharded over a (scen, agent) device mesh, "
+                    "e.g. 2x4 — the whole sweep is ONE scanned SPMD "
+                    "program (parallel.make_sharded_*_rollout); scenario "
+                    "and agent counts must divide the mesh axes")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +55,20 @@ def main():
     from colaborativempc_tpu.geometry import make_track
 
     rng = np.random.default_rng(0)
+
+    mesh = None
+    if args.mesh is not None:
+        from jax.sharding import Mesh
+        s_ax, a_ax = (int(v) for v in args.mesh.lower().split("x"))
+        if args.scenarios % s_ax or args.agents % a_ax:
+            raise SystemExit(f"--mesh {args.mesh}: scenarios ({args.scenarios}) "
+                             f"and agents ({args.agents}) must divide the axes")
+        if len(jax.devices()) < s_ax * a_ax:
+            raise SystemExit(f"--mesh {args.mesh} needs {s_ax * a_ax} devices, "
+                             f"have {len(jax.devices())} (hint: --cpu gives 8 "
+                             f"virtual host devices)")
+        mesh = Mesh(np.array(jax.devices()[: s_ax * a_ax]).reshape(s_ax, a_ax),
+                    ("scen", "agent"))
 
     if args.pipeline == "nl":
         from colaborativempc_tpu.runtime.ocd import (
@@ -67,12 +86,25 @@ def main():
         pert = _perturb_x0(np.asarray(state.x0), args.noise, rng)
         state = state._replace(x0=state.x0 + jnp.asarray(pert, state.x0.dtype))
 
-        rollout = jax.jit(jax.vmap(make_nl_ocd_rollout(track, cfg,
-                                                       args.steps)))
-        state, (_, _, m) = rollout(state)
-        min_dist = np.asarray(m.min_dist_exec).min(axis=1)
-        feas = np.asarray(m.feasible).all(axis=(1, 2))
-        its = np.asarray(m.ocd_iterations)              # (scen, steps)
+        if mesh is not None:
+            from colaborativempc_tpu.parallel import (
+                make_sharded_nl_ocd_rollout, place_ocd_batch,
+            )
+            state = place_ocd_batch(state, mesh)
+            rollout = make_sharded_nl_ocd_rollout(track, cfg, mesh,
+                                                  args.steps)
+            state, m = rollout(state)
+            # sharded metrics carry a leading time axis
+            min_dist = np.asarray(m.min_dist_exec).min(axis=0)
+            feas = np.asarray(m.feasible).all(axis=(0, 2))
+            its = np.asarray(m.ocd_iterations).T        # (scen, steps)
+        else:
+            rollout = jax.jit(jax.vmap(make_nl_ocd_rollout(track, cfg,
+                                                           args.steps)))
+            state, (_, _, m) = rollout(state)
+            min_dist = np.asarray(m.min_dist_exec).min(axis=1)
+            feas = np.asarray(m.feasible).all(axis=(1, 2))
+            its = np.asarray(m.ocd_iterations)          # (scen, steps)
         prog = np.asarray(state.x0[:, :, 6]).mean(axis=1)
         print(f"NL-OCD: {args.scenarios} scenarios x {args.agents} agents "
               f"x {args.steps} steps")
@@ -103,11 +135,21 @@ def main():
     state = state._replace(x0=state.x0 + jnp.asarray(pert, state.x0.dtype))
 
     # all steps of all scenarios run as ONE scanned device program
-    rollout = jax.jit(jax.vmap(make_lpv_fleet_rollout(track, cfg,
-                                                      args.steps)))
-    state, (_, _, m) = rollout(state)
-    min_dist = np.asarray(m.min_dist_exec).min(axis=1)      # (scenarios,)
-    feas = np.asarray(m.feasible).all(axis=(1, 2))
+    if mesh is not None:
+        from colaborativempc_tpu.parallel import (
+            make_sharded_lpv_rollout, shard_fleet_state,
+        )
+        state = shard_fleet_state(state, mesh)
+        rollout = make_sharded_lpv_rollout(track, cfg, mesh, args.steps)
+        state, m = rollout(state)
+        min_dist = np.asarray(m.min_dist_exec).min(axis=0)  # (scenarios,)
+        feas = np.asarray(m.feasible).all(axis=(0, 2))
+    else:
+        rollout = jax.jit(jax.vmap(make_lpv_fleet_rollout(track, cfg,
+                                                          args.steps)))
+        state, (_, _, m) = rollout(state)
+        min_dist = np.asarray(m.min_dist_exec).min(axis=1)  # (scenarios,)
+        feas = np.asarray(m.feasible).all(axis=(1, 2))
 
     prog = np.asarray(state.x0[:, :, 6]).mean(axis=1)
     print(f"{args.scenarios} scenarios x {args.agents} agents x "

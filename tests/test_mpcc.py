@@ -302,3 +302,21 @@ def test_run_mpcc_experiment_lap_termination():
     assert res.states[-1, 6] >= L
     assert res.lap_time is not None and res.lap_time > 0
     assert res.steps < 400
+
+
+def test_mpcc_battery_gain_sweep():
+    """run_mpcc_battery races a whole tuning grid as ONE vmapped device
+    program; more progress reward -> more progress, tighter contouring ->
+    smaller |ey| (the trade-off the reference tunes by re-running its
+    binary per hand-edited cost.json)."""
+    from colaborativempc_tpu.runtime.battery import (
+        run_mpcc_battery, mpcc_gain_grid,
+    )
+    cfg = MPCCConfig(N=10, dt=0.05, map_type="oval_mt")
+    grid = mpcc_gain_grid(MPCCGains(), q_progress=[0.3, 3.0])
+    res = run_mpcc_battery(cfg, grid, steps=30)
+    assert res.n_configs == 2
+    assert (res.feasible_frac > 0.9).all()
+    assert np.all(np.isfinite(res.s_hist))
+    # the aggressive progress gain races measurably farther
+    assert res.progress[1] > res.progress[0] + 0.1, res.progress

@@ -69,6 +69,13 @@ def test_battery_lpv(monkeypatch, capsys):
     assert "progress=" in capsys.readouterr().out
 
 
+def test_battery_mpcc(monkeypatch, capsys):
+    _run("experiment_battery", ["--pipeline", "mpcc", "--steps", "3",
+                                "--N", "8"], monkeypatch)
+    outp = capsys.readouterr().out
+    assert "racing" in outp and "qc=" in outp
+
+
 def test_show_maps_and_planes(tmp_path, monkeypatch):
     _run("show_maps", ["oval", "--out", str(tmp_path)], monkeypatch)
     assert any(f.endswith(".png") for f in os.listdir(tmp_path))
@@ -113,3 +120,16 @@ def test_bench_suite_tiny(monkeypatch, capsys):
     outp = capsys.readouterr().out
     assert "solves_per_sec" in outp
     assert "fleet_steps_per_sec" in outp
+
+
+def test_monte_carlo_mesh_sharded(monkeypatch, capsys):
+    """--mesh runs the sweep as ONE scanned SPMD program over the virtual
+    device mesh (parallel.make_sharded_*_rollout)."""
+    _run("monte_carlo", ["--pipeline", "lpv", "--scenarios", "4",
+                         "--agents", "2", "--N", "8", "--steps", "2",
+                         "--mesh", "2x2"], monkeypatch)
+    _run("monte_carlo", ["--pipeline", "nl", "--scenarios", "4",
+                         "--agents", "2", "--N", "8", "--steps", "2",
+                         "--mesh", "2x2"], monkeypatch)
+    outp = capsys.readouterr().out
+    assert outp.count("feasible scenarios: 4/4") == 2
