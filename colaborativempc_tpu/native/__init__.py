@@ -67,6 +67,21 @@ def load():
             dp, dp, dp, dp, dp, dp, ip, dp, dp, dp,
             ctypes.c_int, ctypes.c_double, ctypes.c_int, dp,
         ]
+        _lib.cmpc_mpcc_solve_dt.restype = ctypes.c_int
+        _lib.cmpc_mpcc_solve_dt.argtypes = [
+            ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            dp, ctypes.c_double, ctypes.c_int,
+            dp, dp, dp, dp, dp, dp, dp,
+            ctypes.c_int, ctypes.c_double, ctypes.c_int, dp,
+        ]
+        _lib.cmpc_mpcc_race.restype = ctypes.c_int
+        _lib.cmpc_mpcc_race.argtypes = [
+            ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+            dp, ctypes.c_double, ctypes.c_int,
+            dp, dp, dp,
+            ctypes.c_double, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            dp, dp, ip,
+        ]
         _lib.cmpc_step_rk4.restype = None
         _lib.cmpc_step_rk4.argtypes = [
             ctypes.c_int, dp, ctypes.c_double, ctypes.c_int,
@@ -182,3 +197,62 @@ def lpv_solve_native(track, gains, limits, model, N: int, dt: float,
         _cptr(g), _cptr(lim), _cptr(mp), iters, rho, eps,
         _cptr(x_out), _cptr(u_out), _cptr(resid))
     return bool(ok), x_out, u_out, resid
+
+
+def _mpcc_packs(gains, bounds, model):
+    g = np.asarray([gains.q_progress, gains.q_contour, gains.q_heading,
+                    gains.q_vy, gains.q_wz, gains.r_delta, gains.r_drive,
+                    gains.dr_delta, gains.dr_drive, gains.w_soft],
+                   np.float64)
+    b = np.asarray([bounds.delta_max, bounds.drive_min, bounds.drive_max,
+                    bounds.trust_delta, bounds.trust_drive, bounds.vx_min],
+                   np.float64)
+    mp = np.asarray([model.m, model.I, model.lf, model.lr, model.Bf,
+                     model.Cf, model.Df, model.Br, model.Cr, model.Dr,
+                     model.Cm1, model.Cm2, model.Cr0, model.Cr2,
+                     model.p_long, model.p_ell, model.max_alpha], np.float64)
+    return g, b, mp
+
+
+def mpcc_solve_native(track, gains, bounds, model, N: int, dt: float,
+                      x0, x_bar, u_bar, u_old,
+                      sqp_iters: int = 3, mix: float = 0.7,
+                      admm_iters: int = 300):
+    """Native counterpart of planners.mpcc.mpcc_solve (float64, raw
+    variables — no normalisation needed). Returns (feasible, x_pred,
+    u_pred, residuals[3])."""
+    lib = load()
+    seg, length, open_flag = track_table(track)
+    x_bar = np.ascontiguousarray(np.asarray(x_bar, np.float64)).copy()
+    u_bar = np.ascontiguousarray(np.asarray(u_bar, np.float64)).copy()
+    x0 = np.ascontiguousarray(np.asarray(x0, np.float64))
+    u_old = np.ascontiguousarray(np.asarray(u_old, np.float64))
+    g, b, mp = _mpcc_packs(gains, bounds, model)
+    resid = np.zeros(3)
+    ok = lib.cmpc_mpcc_solve_dt(
+        N, dt, seg.shape[0], _cptr(seg), length, open_flag,
+        _cptr(x_bar), _cptr(u_bar), _cptr(x0), _cptr(u_old),
+        _cptr(g), _cptr(b), _cptr(mp), sqp_iters, mix, admm_iters,
+        _cptr(resid))
+    return bool(ok), x_bar, u_bar, resid
+
+
+def mpcc_race_native(track, gains, bounds, model, N: int, dt: float,
+                     steps: int, v0: float = 0.5, n_sqp: int = 3,
+                     mix: float = 0.7, admm_iters: int = 300):
+    """Native closed-loop race (runtime/racing.py run_mpcc_experiment twin;
+    reference main.cpp:30-86). Returns (steps_done, states (T, 9),
+    inputs (T, 2), feasible (T,))."""
+    import ctypes as _ct
+    lib = load()
+    seg, length, open_flag = track_table(track)
+    g, b, mp = _mpcc_packs(gains, bounds, model)
+    x_hist = np.zeros((steps, 9))
+    u_hist = np.zeros((steps, 2))
+    feas = np.zeros(steps, np.int32)
+    t = lib.cmpc_mpcc_race(
+        N, dt, steps, seg.shape[0], _cptr(seg), length, open_flag,
+        _cptr(g), _cptr(b), _cptr(mp), v0, n_sqp, mix, admm_iters,
+        _cptr(x_hist), _cptr(u_hist),
+        feas.ctypes.data_as(_ct.POINTER(_ct.c_int)))
+    return int(t), x_hist[:t], u_hist[:t], feas[:t].astype(bool)

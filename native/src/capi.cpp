@@ -6,6 +6,7 @@
 
 #include "cmpc/model.h"
 #include "cmpc/nl.h"
+#include "cmpc/pacejka.h"
 #include "cmpc/solver.h"
 
 namespace cmpc {
@@ -119,6 +120,57 @@ int cmpc_nl_solve_dt(int N, double dt, int n_nb, int n_seg,
     resid_out[2] = static_cast<double>(sol.iterations);
   }
   return sol.feasible ? 1 : 0;
+}
+
+// MPCC racing solve (planners/mpcc.py mpcc_solve twin, raw variables —
+// float64 needs no normalisation). x_bar/u_bar updated in place with the
+// SQP iterates. gains[10]: q_progress q_contour q_heading q_vy q_wz
+// r_delta r_drive dr_delta dr_drive w_soft; bounds[6]: delta_max drive_min
+// drive_max trust_delta trust_drive vx_min; model[17]: m I lf lr Bf Cf Df
+// Br Cr Dr Cm1 Cm2 Cr0 Cr2 p_long p_ell max_alpha.
+int cmpc_mpcc_solve_dt(int N, double dt, int n_seg, const double* seg,
+                       double track_len, int open_flag, double* x_bar,
+                       double* u_bar, const double* x0, const double* u_old,
+                       const double* gains, const double* bounds,
+                       const double* model, int sqp_iters, double mix,
+                       int admm_iters, double* resid_out) {
+  Track trk = make_track_from_table(n_seg, seg, track_len, open_flag);
+  MPCCGainsN g{gains[0], gains[1], gains[2], gains[3], gains[4],
+               gains[5], gains[6], gains[7], gains[8], gains[9]};
+  MPCCBoundsN b{bounds[0], bounds[1], bounds[2], bounds[3], bounds[4],
+                bounds[5]};
+  PacejkaParams p{model[0], model[1], model[2], model[3], model[4],
+                  model[5], model[6], model[7], model[8], model[9],
+                  model[10], model[11], model[12], model[13], model[14],
+                  model[15], model[16]};
+  Solution sol = mpcc_solve_native(trk, g, p, b, N, dt, x0, x_bar, u_bar,
+                                   u_old, sqp_iters, mix, admm_iters);
+  if (resid_out) {
+    resid_out[0] = sol.r_prim;
+    resid_out[1] = sol.r_dual;
+    resid_out[2] = static_cast<double>(sol.iterations);
+  }
+  return sol.feasible ? 1 : 0;
+}
+
+// Closed-loop native race (runtime/racing.py run_mpcc_experiment twin /
+// reference main.cpp:30-86). Returns completed steps.
+int cmpc_mpcc_race(int N, double dt, int steps, int n_seg, const double* seg,
+                   double track_len, int open_flag, const double* gains,
+                   const double* bounds, const double* model, double v0,
+                   int n_sqp, double mix, int admm_iters, double* x_hist,
+                   double* u_hist, int* feasible_hist) {
+  Track trk = make_track_from_table(n_seg, seg, track_len, open_flag);
+  MPCCGainsN g{gains[0], gains[1], gains[2], gains[3], gains[4],
+               gains[5], gains[6], gains[7], gains[8], gains[9]};
+  MPCCBoundsN b{bounds[0], bounds[1], bounds[2], bounds[3], bounds[4],
+                bounds[5]};
+  PacejkaParams p{model[0], model[1], model[2], model[3], model[4],
+                  model[5], model[6], model[7], model[8], model[9],
+                  model[10], model[11], model[12], model[13], model[14],
+                  model[15], model[16]};
+  return mpcc_race_native(trk, g, p, b, N, dt, steps, v0, n_sqp, mix,
+                          admm_iters, x_hist, u_hist, feasible_hist);
 }
 
 // RK4 plant step (validation utility).

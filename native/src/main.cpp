@@ -26,6 +26,7 @@
 
 #include "cmpc/model.h"
 #include "cmpc/nl.h"
+#include "cmpc/pacejka.h"
 #include "cmpc/solver.h"
 
 namespace cmpc {
@@ -184,17 +185,51 @@ static int run_nl_ocd(const Track& trk, int n_agents, int N, int steps,
   return all_ok ? 0 : 1;
 }
 
+// Single-agent MPCC racing closed loop (the reference's own native entry,
+// MPCC-master/C++/main.cpp:30-86): cold/warm start driver + RK4 plant.
+static int run_mpcc(const Track& trk, int N, int steps, double dt,
+                    int admm_iters) {
+  MPCCGainsN g;
+  MPCCBoundsN b;
+  PacejkaParams p;
+  std::vector<double> x_hist(static_cast<size_t>(steps) * NX);
+  std::vector<double> u_hist(static_cast<size_t>(steps) * NU);
+  std::vector<int> feas(steps, 0);
+  const auto t0 = std::chrono::steady_clock::now();
+  const int t = mpcc_race_native(trk, g, p, b, N, dt, steps, 0.5, 3, 0.7,
+                                 admm_iters, x_hist.data(), u_hist.data(),
+                                 feas.data());
+  const double ms = std::chrono::duration<double, std::milli>(
+      std::chrono::steady_clock::now() - t0).count();
+  int n_ok = 0;
+  double vmax = 0.0, eymax = 0.0;
+  for (int k = 0; k < t; ++k) {
+    n_ok += feas[k];
+    vmax = std::max(vmax, x_hist[static_cast<size_t>(k) * NX]);
+    eymax = std::max(eymax, std::fabs(x_hist[static_cast<size_t>(k) * NX + 3]));
+  }
+  std::printf("mpcc: steps=%d s_final=%.2f vx_max=%.2f |ey|max=%.3f "
+              "feasible=%d/%d\n",
+              t, t ? x_hist[static_cast<size_t>(t - 1) * NX + 6] : 0.0, vmax,
+              eymax, n_ok, t);
+  std::printf("solve time: mean %.3f ms (%d steps)\n", ms / std::max(t, 1),
+              t);
+  return (t == steps && n_ok == t) ? 0 : 1;
+}
+
 int main(int argc, char** argv) {
   bool nl_mode = false;
+  bool mpcc_mode = false;
   std::vector<const char*> pos;
   for (int i = 1; i < argc; ++i) {
     if (std::strcmp(argv[i], "nl") == 0) nl_mode = true;
+    else if (std::strcmp(argv[i], "mpcc") == 0) mpcc_mode = true;
     else pos.push_back(argv[i]);
   }
   if (pos.empty()) {
     std::fprintf(stderr,
                  "usage: %s <track.csv> [n_agents] [N] [steps] [dt] "
-                 "[admm_iters] [nl]\n",
+                 "[admm_iters] [nl|mpcc]\n",
                  argv[0]);
     return 2;
   }
@@ -209,6 +244,8 @@ int main(int argc, char** argv) {
   const double dt = pos.size() > 4 ? std::atof(pos[4]) : 0.02;
   const int admm_iters = pos.size() > 5 ? std::atoi(pos[5]) : 600;
   const int n_nb = n_agents - 1;
+
+  if (mpcc_mode) return run_mpcc(trk, N, steps, dt, admm_iters);
 
   Gains g;
   g.q = {10.0, 0, 0, 25.0, 10.0, 0, 0, 0, 0};

@@ -190,3 +190,76 @@ def test_native_races_fitted_track():
     assert ok and bool(sol.feasible)
     err = np.abs(x_nat - np.asarray(sol.x_pred)).max()
     assert err < 5e-3, err
+
+
+def test_native_mpcc_solve_matches_jax():
+    """Native MPCC racing solve (FD-linearised Pacejka, float64) vs the JAX
+    mpcc_solve (autodiff, float32) on identical inputs."""
+    from colaborativempc_tpu.dynamics import PacejkaParams
+    from colaborativempc_tpu.planners.mpcc import (
+        MPCCGains, MPCCBounds, mpcc_solve,
+    )
+    track = make_track("oval_mt")
+    g, b, p = MPCCGains(), MPCCBounds(), PacejkaParams()
+    N, dt = 16, 0.05
+    x = jnp.zeros(9, jnp.float32).at[0].set(0.6)
+    x_bar = jnp.stack([x] * (N + 1))
+    x_bar = x_bar.at[:, 6].set(
+        jnp.arange(N + 1, dtype=jnp.float32) * 0.6 * dt)
+    u_bar = jnp.zeros((N, 2), jnp.float32).at[:, 1].set(0.25)
+    u_old = jnp.zeros(2, jnp.float32)
+
+    sol = mpcc_solve(track, g, p, N, dt, x, x_bar, u_bar, u_old,
+                     sqp_iters=3, sqp_mix=0.7, admm_iters=300, bounds=b,
+                     norm=None)
+    ok, x_nat, u_nat, resid = native.mpcc_solve_native(
+        track, g, b, p, N, dt, np.asarray(x), np.asarray(x_bar),
+        np.asarray(u_bar), np.asarray(u_old), sqp_iters=3, mix=0.7,
+        admm_iters=300)
+    assert ok and bool(sol.feasible)
+    err_x = np.abs(np.asarray(sol.x_pred) - x_nat).max()
+    err_u = np.abs(np.asarray(sol.u_pred) - u_nat).max()
+    assert err_x <= 5e-3, err_x
+    assert err_u <= 5e-3, err_u
+
+
+def test_native_mpcc_race_matches_jax_driver():
+    """Full closed-loop native race (cold start + warm shift + failure
+    bookkeeping + RK4 plant) tracks the JAX run_mpcc_experiment: same
+    progress within 2%, both feasible throughout."""
+    from colaborativempc_tpu.planners.mpcc import MPCCConfig
+    from colaborativempc_tpu.runtime.racing import run_mpcc_experiment
+    from colaborativempc_tpu.dynamics import PacejkaParams
+    from colaborativempc_tpu.planners.mpcc import MPCCGains, MPCCBounds
+
+    track = make_track("oval_mt")
+    N, dt, steps = 16, 0.05, 50
+    cfg = MPCCConfig(N=N, dt=dt, n_sim=steps, map_type="oval_mt",
+                     initial_velocity=0.5, verb=0)
+    res = run_mpcc_experiment(cfg, track=track)
+
+    t, xs, us, feas = native.mpcc_race_native(
+        track, MPCCGains(), MPCCBounds(), PacejkaParams(), N=N, dt=dt,
+        steps=steps, v0=0.5, n_sqp=cfg.n_sqp, mix=cfg.sqp_mixing,
+        admm_iters=300)
+    assert t == steps
+    assert feas.all() and res.feasible.all()
+    s_jax = float(res.states[-1, 6])
+    s_nat = float(xs[-1, 6])
+    assert abs(s_jax - s_nat) < 0.02 * max(s_jax, 1.0), (s_jax, s_nat)
+    # corridor respected on both sides
+    assert np.abs(xs[:, 3]).max() < 0.25
+
+
+def test_native_mpcc_sim_binary(tmp_path):
+    """cmpc_sim's mpcc mode (the reference main.cpp's own entry) races."""
+    track = make_track("oval_mt")
+    csv = str(tmp_path / "track.csv")
+    native.export_track_csv(track, csv)
+    out = subprocess.run(
+        [native._NATIVE_DIR + "/build/cmpc_sim", csv, "1", "12", "30",
+         "0.05", "300", "mpcc"],
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "mpcc: steps=30" in out.stdout
+    assert "feasible=30/30" in out.stdout
