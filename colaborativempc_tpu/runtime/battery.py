@@ -204,12 +204,17 @@ class MPCCBatteryResult(NamedTuple):
 
 
 def run_mpcc_battery(cfg, grid, steps: int,
-                     track=None) -> MPCCBatteryResult:
+                     track=None, mesh=None) -> MPCCBatteryResult:
     """Race every gain combination simultaneously: the closed-loop driver
     (warm/cold start, failure reset, RK4 plant — runtime/racing.py) scanned
     over control steps and vmapped over the gain grid, ONE device program.
     The reference tunes its racing controller one serial binary run at a
-    time; here a whole tuning grid costs one race's wall time."""
+    time; here a whole tuning grid costs one race's wall time.
+
+    ``mesh``: optional 1-axis ``jax.sharding.Mesh`` — races are embarrassingly
+    parallel (no cross-config collectives), so sharding the grid axis over
+    devices is pure data-parallel: inputs are placed with a config-axis
+    sharding and jit partitions the vmapped program automatically."""
     from colaborativempc_tpu.runtime.racing import (
         _make_mpcc_step_fn, init_mpcc, load_mpcc_track,
     )
@@ -231,6 +236,16 @@ def run_mpcc_battery(cfg, grid, steps: int,
     states = jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (n_cfg,) + x.shape).copy(),
         state0)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        if n_cfg % mesh.devices.size:
+            raise ValueError(f"grid size {n_cfg} must divide the mesh "
+                             f"({mesh.devices.size} devices)")
+        put = lambda x: jax.device_put(  # noqa: E731
+            x, NamedSharding(mesh, P(axis, *((None,) * (x.ndim - 1)))))
+        gains_batch = jax.tree.map(put, gains_batch)
+        states = jax.tree.map(put, states)
     final, metrics = jax.jit(jax.vmap(race))(gains_batch, states)
 
     s_hist = np.asarray(metrics.s).T           # (T, n_cfg)

@@ -320,3 +320,22 @@ def test_mpcc_battery_gain_sweep():
     assert np.all(np.isfinite(res.s_hist))
     # the aggressive progress gain races measurably farther
     assert res.progress[1] > res.progress[0] + 0.1, res.progress
+
+
+def test_mpcc_battery_sharded_matches_single_device():
+    """The racing battery sharded over the 8-device mesh (pure data
+    parallel) equals the single-device run."""
+    from jax.sharding import Mesh
+    from colaborativempc_tpu.runtime.battery import (
+        run_mpcc_battery, mpcc_gain_grid,
+    )
+    cfg = MPCCConfig(N=8, dt=0.05, map_type="oval_mt")
+    grid = mpcc_gain_grid(MPCCGains(),
+                          q_contour=[20.0, 50.0, 80.0, 120.0],
+                          q_progress=[0.5, 2.0])       # 8 configs
+    a = run_mpcc_battery(cfg, grid, steps=10)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("cfg",))
+    b = run_mpcc_battery(cfg, grid, steps=10, mesh=mesh)
+    np.testing.assert_allclose(a.s_hist, b.s_hist, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(a.feasible_frac > 0.9,
+                                  b.feasible_frac > 0.9)
