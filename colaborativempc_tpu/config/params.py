@@ -126,12 +126,16 @@ class SolverConfig(NamedTuple):
     alpha_relax: float = 1.6    # ADMM over-relaxation
     # Riccati/epoch scheduling (None = the N-dependent defaults in
     # ops/admm.py admm_solve): refactorisation epoch length, stage-scan
-    # unroll, and the parallel-in-horizon associative-scan path (log-depth,
-    # ~3x FLOPs — wins for LATENCY-bound single-fleet long horizons; the
-    # sequential scan wins for throughput-bound batches)
+    # unroll, and the parallel-in-horizon associative-scan path (blocked
+    # composition, ops/lqr.py _affine_scan; ~3x FLOPs — wins for
+    # LATENCY-bound single-fleet long horizons: p50 37 ms vs 63 ms at
+    # N=125 on v5e, BENCH.md; the sequential scan wins for
+    # throughput-bound batches). assoc=None resolves to True on the
+    # single-fleet latency schedule (run_lpv_experiment, N>=48) and
+    # False everywhere else; pin True/False to override.
     epoch_len: Optional[int] = None
     unroll: Optional[int] = None
-    assoc: bool = False
+    assoc: Optional[bool] = None
     sqp_iters: int = 3          # SQP outer iterations (1 = RTI mode)
     line_search: float = 0.7    # SQP solution blending (C++ MPCC sqp_mixing)
     u_trust_delta: float = 0.06  # SQP trust region on steering

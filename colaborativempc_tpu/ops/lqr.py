@@ -140,15 +140,32 @@ def lqr_affine_solve(dyn: LQRDynamics, fac: LQRFactors,
 
 
 def _affine_scan(M: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
-                 reverse: bool = False) -> jnp.ndarray:
+                 reverse: bool = False, block: int | None = 8
+                 ) -> jnp.ndarray:
     """All states of the affine recurrence x_{k+1} = M_k x_k + b_k via
     ``lax.associative_scan`` — log-depth instead of the N-step sequential
     scan. Returns (N+1, n) including x0 at index 0 (or x_N at the end for
     reverse=True recurrences x_k = M_k x_{k+1} + b_k, index N first).
+
+    ``block`` selects the blocked hybrid: map composites are built
+    associatively only WITHIN blocks of that many stages (so no composed
+    product ever spans more than ``block`` maps) and the state is carried
+    sequentially ACROSS blocks (N/block loop steps, each one batched
+    matvec). Full-span composition (``block=None``) accumulates float32
+    roundoff catastrophically on ill-conditioned maps — e.g. the N=125
+    ADMM costate recursion under large adaptive rho loses all accuracy
+    (r_prim ~ 1, measured) while short blocks match the sequential scan;
+    the composite span is the conditioning knob, the cross-block carry is
+    plain well-conditioned state propagation. Measured on the N=125
+    Highway hard window (three agents jamming into the k=0.35 curve,
+    BENCH.md): block=16 leaves a few ADMM solves stalled above a 1e-4
+    residual tolerance where block<=8 — like the sequential scan —
+    converges; 8 is the default.
     """
     if reverse:
         M = M[::-1]
         b = b[::-1]
+    N, n = M.shape[0], M.shape[-1]
 
     def combine(e1, e2):
         M1, b1 = e1
@@ -157,9 +174,30 @@ def _affine_scan(M: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
             "...ij,...j->...i", M2, b1,
             precision=jax.lax.Precision.HIGHEST) + b2
 
-    Mc, bc = jax.lax.associative_scan(combine, (M, b))
-    xs = jnp.einsum("kij,j->ki", Mc, x0,
-                    precision=jax.lax.Precision.HIGHEST) + bc
+    if block is None or block >= N:
+        Mc, bc = jax.lax.associative_scan(combine, (M, b))
+        xs = jnp.einsum("kij,j->ki", Mc, x0,
+                        precision=jax.lax.Precision.HIGHEST) + bc
+    else:
+        nb = -(-N // block)
+        pad = nb * block - N
+        if pad:
+            eye = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), (pad, n, n))
+            M = jnp.concatenate([M, eye], axis=0)
+            b = jnp.concatenate([b, jnp.zeros((pad, n), b.dtype)], axis=0)
+        Mb = M.reshape(nb, block, n, n)
+        bb = b.reshape(nb, block, n)
+        # prefix composites from each block's start (span <= block)
+        Cb, db = jax.lax.associative_scan(combine, (Mb, bb), axis=1)
+
+        def body(x, inp):
+            Cj, dj = inp
+            xs = jnp.einsum("kij,j->ki", Cj, x,
+                            precision=jax.lax.Precision.HIGHEST) + dj
+            return xs[-1], xs
+
+        _, xs = jax.lax.scan(body, x0, (Cb, db))
+        xs = xs.reshape(nb * block, n)[:N]
     out = jnp.concatenate([x0[None], xs], axis=0)
     if reverse:
         out = out[::-1]
@@ -168,7 +206,7 @@ def _affine_scan(M: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
 
 def lqr_affine_solve_assoc(dyn: LQRDynamics, fac: LQRFactors,
                            q: jnp.ndarray, r: jnp.ndarray,
-                           z0: jnp.ndarray):
+                           z0: jnp.ndarray, block: int | None = 8):
     """Parallel-in-horizon affine solve: both the costate recursion and the
     closed-loop rollout are affine recurrences in the factorised system, so
     each collapses to one associative scan (log-depth). This is the axis the
@@ -176,14 +214,17 @@ def lqr_affine_solve_assoc(dyn: LQRDynamics, fac: LQRFactors,
     (stage loops LPV_Planner.py:462-472, CasADi base_nl.py:163-304, C++
     mpc.cpp:46-52; SURVEY.md §5.7).
 
-    Identical output to ``lqr_affine_solve`` (up to roundoff).
+    Identical output to ``lqr_affine_solve`` (up to roundoff). ``block``
+    bounds the composed-map span (see ``_affine_scan``): the default 8
+    keeps float32 sound at N=125 under large ADMM penalties where the
+    full-span composition (block=None) diverges and block=16 stalls a few
+    hard solves short of tight tolerances.
 
-    Measured guidance (TPU v5e, N=125, nz=11): the sequential scan wins by
-    ~50x — at these matrix sizes it stays on-chip while the associative
-    combine materialises O(N log N) nz x nz products through HBM. This path
-    exists for the regime it targets (very long horizons with larger stage
-    blocks, or backends with high per-step loop overhead); benchmark before
-    enabling.
+    Measured guidance (TPU v5e, N=125, nz=11): wins ~2x end-to-end for
+    LATENCY-bound single-fleet solves (BENCH.md); for throughput-bound
+    wide batches the sequential scan wins — it stays on-chip while the
+    associative combine materialises O(N log block) nz x nz products
+    through HBM. Benchmark per regime before enabling.
     """
     # costate: p_k = Acl_k' p_{k+1} + c_k with
     # c_k = q_k + Acl_k' m_k - Qxu Quu^{-1} r_k
@@ -195,7 +236,8 @@ def lqr_affine_solve_assoc(dyn: LQRDynamics, fac: LQRFactors,
                       precision=jax.lax.Precision.HIGHEST)
          + jnp.einsum("kij,kj->ki", fac.Qxu, Kr,
                       precision=jax.lax.Precision.HIGHEST))
-    p = _affine_scan(AclT, c, q[-1], reverse=True)         # (N+1, nz)
+    p = _affine_scan(AclT, c, q[-1], reverse=True,
+                     block=block)                          # (N+1, nz)
 
     # feedforward from the costates
     t = p[1:] + fac.m
@@ -207,7 +249,7 @@ def lqr_affine_solve_assoc(dyn: LQRDynamics, fac: LQRFactors,
     # closed-loop rollout: z_{k+1} = Acl_k z_k + (G kff_k + d_k)
     b = jnp.einsum("kij,kj->ki", dyn.G, kff,
                    precision=jax.lax.Precision.HIGHEST) + dyn.d
-    z = _affine_scan(fac.Acl, b, z0)
+    z = _affine_scan(fac.Acl, b, z0, block=block)
     cctrl = (jnp.einsum("kij,kj->ki", fac.K, z[:-1],
                         precision=jax.lax.Precision.HIGHEST) + kff)
     return z, cctrl

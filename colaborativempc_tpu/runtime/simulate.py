@@ -20,7 +20,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from colaborativempc_tpu.config.params import ExperimentConfig, lpv_gains
+from colaborativempc_tpu.config.params import (
+    ExperimentConfig, SolverConfig, lpv_gains)
 from colaborativempc_tpu.geometry import Track, make_track, check_end
 from colaborativempc_tpu.planners.lpv import lpv_solve, LPVSolution
 from colaborativempc_tpu.utils.warmstart import initialise_agents
@@ -209,6 +210,40 @@ class ExperimentResult(NamedTuple):
     finished: bool          # lap completed (vs max_it exhausted)
 
 
+def resolve_single_fleet_schedule(cfg: ExperimentConfig) -> ExperimentConfig:
+    """Fill unset solver knobs with the single-fleet long-horizon (N>=48)
+    latency schedule. Host-loop entry points run ONE fleet per step;
+    batched/sharded paths keep the long-epoch sequential throughput
+    defaults (the batch pays its slowest problem's epochs and the
+    associative path streams through HBM, so both choices flip there).
+
+    Measured at N=125 on v5e (BENCH.md):
+      - epoch_len 15: frequent rho adaptation roughly halves warm
+        iteration counts vs the batch-tuned epoch 30;
+      - assoc (blocked log-depth Riccati, ops/lqr.py): p50 37 ms vs
+        63 ms sequential at equal tolerance, 100% feasible;
+      - admm_iters >= 1000: the Highway hard window (three agents
+        entering the k=0.35 curve at s=25-33) needs 600-1000 iterations
+        on a few steps; a 300-cap executes unconverged plans there until
+        the fleet deadlocks and diverges (full-course study, BENCH.md).
+        The reference runs OSQP with max_iter=500000 (LPV_Planner.py:233)
+        — budget-capped it is not. Early exit on residuals makes the
+        higher cap free on easy steps.
+
+    Each knob only fills in when left at its default; pin
+    solver.epoch_len / assoc / admm_iters to override.
+    """
+    if cfg.N < 48:
+        return cfg
+    import dataclasses
+    sv = cfg.solver
+    return dataclasses.replace(cfg, solver=sv._replace(
+        epoch_len=15 if sv.epoch_len is None else sv.epoch_len,
+        assoc=True if sv.assoc is None else sv.assoc,
+        admm_iters=1000 if sv.admm_iters == SolverConfig().admm_iters
+        else sv.admm_iters))
+
+
 def run_lpv_experiment(cfg: ExperimentConfig,
                        x0s: Optional[np.ndarray] = None,
                        track: Optional[Track] = None,
@@ -234,17 +269,7 @@ def run_lpv_experiment(cfg: ExperimentConfig,
         with dtype_island(cfg.dtype):
             return run_lpv_experiment(cfg, x0s, track, io, checkpoint_path,
                                       checkpoint_every, profile_dir)
-    if cfg.solver.epoch_len is None and cfg.N >= 48:
-        # single-fleet latency schedule: this host-loop entry point runs ONE
-        # fleet per step, where frequent rho adaptation (short epochs)
-        # roughly halves iteration counts — measured p95 143 ms vs 237 ms at
-        # N=125 (BENCH.md). Batched/sharded paths keep the long-epoch
-        # throughput default (the batch pays its slowest problem's epochs,
-        # so amortising the refactorisation wins there). Same eps, same
-        # feasibility; pin solver.epoch_len to override.
-        import dataclasses
-        cfg = dataclasses.replace(
-            cfg, solver=cfg.solver._replace(epoch_len=15))
+    cfg = resolve_single_fleet_schedule(cfg)
     if track is None:
         track = make_track(cfg.map_type,
                            dtype=jnp.float64 if cfg.dtype == "float64"

@@ -141,7 +141,11 @@ def main():
         # eps=5e-4: still 2x tighter than the reference's own solver
         # tolerance (OSQP default eps_abs=1e-3, LPV_Planner.py:222-239);
         # the batch pays the slowest problem's iterations, and the last
-        # sub-5e-4 digit of a residual tail costs ~2x wall time
+        # sub-5e-4 digit of a residual tail costs ~2x wall time.
+        # THROUGHPUT-ONLY setting: closed-loop full courses need eps=1e-4
+        # — at 5e-4 the executed-plan error compounds through the Highway
+        # hard window until the fleet deadlocks (full-course study,
+        # BENCH.md); run_lpv_experiment keeps the 1e-4 default.
         fleet_bench("3-agent long horizon N=125", 3, 125, 64,
                     admm_iters=600, eps=5e-4)
         nl_fleet_bench("3-agent NL-OCD Monte-Carlo", 3, 20, 64)

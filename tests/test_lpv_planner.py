@@ -290,3 +290,26 @@ def test_heterogeneous_fleet_limits():
     assert float(vx[-1, 1]) > 1.6          # follower faster than the leader
     # separation held while the speed difference closes the gap
     assert res.min_dist_exec.min() > cfg.limits.min_dist * 0.8
+
+
+def test_single_fleet_schedule_resolution():
+    """run_lpv_experiment's N>=48 latency schedule fills only UNSET solver
+    knobs (epoch 15, blocked-assoc Riccati, 1000-iteration cap — the
+    full-course Highway study, BENCH.md); explicit pins always win, and
+    short horizons are untouched."""
+    from colaborativempc_tpu.config import SolverConfig
+    from colaborativempc_tpu.runtime.simulate import (
+        resolve_single_fleet_schedule,
+    )
+
+    sv = resolve_single_fleet_schedule(
+        ExperimentConfig(N=125, map_type="Highway")).solver
+    assert (sv.epoch_len, sv.assoc, sv.admm_iters) == (15, True, 1000)
+
+    pinned = SolverConfig(epoch_len=30, assoc=False, admm_iters=600)
+    sv = resolve_single_fleet_schedule(
+        ExperimentConfig(N=125, map_type="Highway", solver=pinned)).solver
+    assert (sv.epoch_len, sv.assoc, sv.admm_iters) == (30, False, 600)
+
+    short = ExperimentConfig(N=20, map_type="Highway")
+    assert resolve_single_fleet_schedule(short) is short

@@ -285,6 +285,35 @@ def test_assoc_affine_matches_sequential():
     assert np.allclose(np.asarray(c1), np.asarray(c2), atol=2e-3)
 
 
+def test_blocked_affine_scan_matches_sequential():
+    """The blocked-hybrid associative scan (composites bounded to `block`
+    stages, state carried sequentially across blocks) is exact for every
+    block size, including non-divisors of N and block >= N (full span),
+    in both scan directions."""
+    from colaborativempc_tpu.ops.lqr import _affine_scan
+    rng = np.random.default_rng(11)
+    N, n = 57, 7
+    M = jnp.asarray(0.4 * rng.standard_normal((N, n, n)))
+    b = jnp.asarray(rng.standard_normal((N, n)))
+    x0 = jnp.asarray(rng.standard_normal(n))
+
+    def seq(M, b, x0, reverse):
+        Ms = np.asarray(M)[::-1] if reverse else np.asarray(M)
+        bs = np.asarray(b)[::-1] if reverse else np.asarray(b)
+        xs = [np.asarray(x0)]
+        for k in range(N):
+            xs.append(Ms[k] @ xs[-1] + bs[k])
+        out = np.stack(xs)
+        return out[::-1] if reverse else out
+
+    for reverse in (False, True):
+        ref = seq(M, b, x0, reverse)
+        for block in (None, 8, 13, 57, 100):
+            got = np.asarray(_affine_scan(M, b, x0, reverse=reverse,
+                                          block=block))
+            assert np.allclose(got, ref, atol=1e-5), (reverse, block)
+
+
 def test_pallas_affine_kernel_interpret():
     """The Pallas batched affine kernel matches the sequential solve.
 
