@@ -170,6 +170,14 @@ class ExperimentConfig:
     # half-width/constraint tables follow the winning lane. Off: the static
     # `lane` above is used fleet-wide.
     dynamic_lane: bool = False
+    # Solver-failure containment in the closed loop: a solve whose residual
+    # exceeds the feasibility tolerance is not executed — the agent follows
+    # its previous plan one more stage and retries (runtime/simulate.py;
+    # the per-step analogue of the reference MPCC's solver-failure guess
+    # reset, mpc.cpp:231-252, and the NL planners' IPOPT last-iterate
+    # fallback, NL_Planner_Eu.py:200-217). Off = reference LPV semantics
+    # (execute whatever came back, LPV_Planner.py:241-249).
+    hold_on_infeasible: bool = True
     model: ModelParams = ModelParams()
     limits: SysLimits = SysLimits()
     gains: Optional[Gains] = None

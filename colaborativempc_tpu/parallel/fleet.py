@@ -102,15 +102,36 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
             state.x0, state.x_pred, state.u_pred, state.u_old,
             state.w, state.y, state.rho_scale, all_xy, lanes)
 
+        if cfg.hold_on_infeasible:
+            # solver-failure containment, identical semantics to the
+            # single-device step (runtime/simulate.py): an unconverged
+            # plan is not executed — shift-hold the previous one. Purely
+            # shard-local (per scenario x agent), no collectives.
+            ok = sol.feasible                          # (S_l, A_l)
+            ok4 = ok[:, :, None, None]
+            hold_x = jnp.concatenate(
+                [state.x_pred[:, :, 1:], state.x_pred[:, :, -1:]], axis=2)
+            hold_u = jnp.concatenate(
+                [state.u_pred[:, :, 1:], state.u_pred[:, :, -1:]], axis=2)
+            x_pred = jnp.where(ok4, sol.x_pred, hold_x)
+            u_pred = jnp.where(ok4, sol.u_pred, hold_u)
+            w = jnp.where(ok4, sol.w, state.w)
+            y = jnp.where(ok4, sol.y, state.y)
+            rho_scale = jnp.where(ok[:, :, None], sol.rho_scale,
+                                  state.rho_scale)
+        else:
+            x_pred, u_pred = sol.x_pred, sol.u_pred
+            w, y, rho_scale = sol.w, sol.y, sol.rho_scale
+
         new_state = FleetState(
-            x0=sol.x_pred[:, :, 1, :],
-            x_pred=sol.x_pred, u_pred=sol.u_pred,
-            u_old=sol.u_pred[:, :, 0, :],
-            w=sol.w, y=sol.y, rho_scale=sol.rho_scale)
+            x0=x_pred[:, :, 1, :],
+            x_pred=x_pred, u_pred=u_pred,
+            u_old=u_pred[:, :, 0, :],
+            w=w, y=y, rho_scale=rho_scale)
 
         # fleet-wide min pairwise distance per scenario: reduce over agents
         all_xy_new = jax.lax.all_gather(
-            sol.x_pred[:, :, :, 7:9], agent_axis, axis=1, tiled=True)
+            x_pred[:, :, :, 7:9], agent_axis, axis=1, tiled=True)
         p = all_xy_new[:, :, 1:, :]                    # (S_l, n_ag, N, 2)
         diff = p[:, :, None] - p[:, None, :]
         dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
@@ -121,7 +142,7 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
         min_dist = jax.lax.pmin(min_dist, agent_axis)
 
         exec_xy = jax.lax.all_gather(
-            sol.x_pred[:, :, 1, 7:9], agent_axis, axis=1, tiled=True)
+            x_pred[:, :, 1, 7:9], agent_axis, axis=1, tiled=True)
         dd = exec_xy[:, :, None, :] - exec_xy[:, None, :, :]
         dexec = jnp.sqrt(jnp.sum(dd * dd, axis=-1) + 1e-12)
         dexec = dexec + jnp.eye(n_ag)[None] * 1e9

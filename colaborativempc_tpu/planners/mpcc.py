@@ -249,7 +249,10 @@ def mpcc_solve(track: Track, gains: MPCCGains, p: PacejkaParams,
                norm: Optional[MPCCNormalization] = None,
                w0: Optional[jnp.ndarray] = None,
                y0: Optional[jnp.ndarray] = None,
-               rho_scale0=1.0) -> MPCCSolution:
+               rho_scale0=1.0,
+               epoch_len: Optional[int] = None,
+               unroll: Optional[int] = None,
+               assoc: bool = False) -> MPCCSolution:
     """SQP racing solve (the reference's runMPC loop, mpc.cpp:219-259).
 
     ``norm`` applies the reference's per-SQP-iteration state/input
@@ -279,11 +282,15 @@ def mpcc_solve(track: Track, gains: MPCCGains, p: PacejkaParams,
         if norm is not None:
             sol = admm_solve(scale_stage_qp(qp, tz, tc), z0_s,
                              w0=w, y0=y, rho_scale0=rs,
-                             iters=admm_iters, rho=rho)
+                             iters=admm_iters, rho=rho,
+                             epoch_len=epoch_len, unroll=unroll,
+                             assoc=assoc)
             z_sol = sol.z * tz[None, :]
         else:
             sol = admm_solve(qp, z0, w0=w, y0=y, rho_scale0=rs,
-                             iters=admm_iters, rho=rho)
+                             iters=admm_iters, rho=rho,
+                             epoch_len=epoch_len, unroll=unroll,
+                             assoc=assoc)
             z_sol = sol.z
         x_new = z_sol[:, :NX]
         u_new = z_sol[1:, NX:]
@@ -399,6 +406,12 @@ class MPCCConfig:
     normalize: bool = True       # solve in normalised variables (params.h T_x/T_u)
     admm_iters: int = 200
     rho: float = 10.0
+    # Riccati scheduling passthrough (ops/admm.py admm_solve; None = the
+    # N-dependent defaults). assoc = blocked log-depth affine solves —
+    # measured on the LPV N=125 single-fleet path (BENCH.md); opt-in here.
+    epoch_len: Optional[int] = None
+    unroll: Optional[int] = None
+    assoc: bool = False
     gains: MPCCGains = MPCCGains()
     bounds: MPCCBounds = MPCCBounds()
     model: PacejkaParams = PacejkaParams()

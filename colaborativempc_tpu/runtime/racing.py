@@ -184,7 +184,8 @@ def _make_mpcc_step_fn(track: Track, cfg: MPCCConfig):
             sqp_iters=cfg.n_sqp, sqp_mix=cfg.sqp_mixing,
             admm_iters=cfg.admm_iters, rho=cfg.rho,
             bounds=cfg.bounds, norm=norm,
-            w0=w0, y0=y0, rho_scale0=rs0)
+            w0=w0, y0=y0, rho_scale0=rs0,
+            epoch_len=cfg.epoch_len, unroll=cfg.unroll, assoc=cfg.assoc)
 
         finite = (jnp.all(jnp.isfinite(sol.x_pred))
                   & jnp.all(jnp.isfinite(sol.u_pred)))

@@ -131,12 +131,41 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
             limits_pa, lanes, state.x0, state.x_pred, state.u_pred,
             state.u_old, state.w, state.y, state.rho_scale, neigh)
 
+        if cfg.hold_on_infeasible:
+            # Solver-failure containment, the per-step analogue of what
+            # every reference planner does on solver failure (MPCC guess
+            # bookkeeping + reset, mpc.cpp:231-252; IPOPT last-iterate
+            # debug-value fallback, NL_Planner_Eu.py:200-217): a plan whose
+            # residual exceeded the feasibility tolerance is NOT executed.
+            # The failed agent follows its PREVIOUS plan one more stage
+            # (shift, terminal stage padded) and retries next step from
+            # that saner linearisation; duals/penalties keep their
+            # pre-failure warm state. Without this, a capped unconverged
+            # solve in the Highway curve congestion executes garbage,
+            # degrades the next linearisation, and the fleet deadlocks or
+            # diverges (full-course study, BENCH.md).
+            ok = sol.feasible
+            ok3 = ok[:, None, None]
+            hold_x = jnp.concatenate(
+                [state.x_pred[:, 1:], state.x_pred[:, -1:]], axis=1)
+            hold_u = jnp.concatenate(
+                [state.u_pred[:, 1:], state.u_pred[:, -1:]], axis=1)
+            x_pred = jnp.where(ok3, sol.x_pred, hold_x)
+            u_pred = jnp.where(ok3, sol.u_pred, hold_u)
+            w = jnp.where(ok3, sol.w, state.w)
+            y = jnp.where(ok3, sol.y, state.y)
+            rho_scale = jnp.where(ok[:, None], sol.rho_scale,
+                                  state.rho_scale)
+        else:
+            x_pred, u_pred = sol.x_pred, sol.u_pred
+            w, y, rho_scale = sol.w, sol.y, sol.rho_scale
+
         new_state = FleetState(
-            x0=sol.x_pred[:, 1, :],        # x0 shift (prediction = plant)
-            x_pred=sol.x_pred, u_pred=sol.u_pred,
-            u_old=sol.u_pred[:, 0, :],
-            w=sol.w, y=sol.y, rho_scale=sol.rho_scale)
-        exec_xy = sol.x_pred[:, 1, 7:9]               # applied next states
+            x0=x_pred[:, 1, :],            # x0 shift (prediction = plant)
+            x_pred=x_pred, u_pred=u_pred,
+            u_old=u_pred[:, 0, :],
+            w=w, y=y, rho_scale=rho_scale)
+        exec_xy = x_pred[:, 1, 7:9]                   # applied next states
         dd = exec_xy[:, None, :] - exec_xy[None, :, :]
         dexec = jnp.sqrt(jnp.sum(dd * dd, axis=-1) + 1e-12)
         dexec = dexec + jnp.eye(dexec.shape[0]) * 1e9
@@ -144,7 +173,7 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
             feasible=sol.feasible, iterations=sol.iterations,
             r_prim=sol.r_prim,
             min_dist=_pairwise_min_dist(
-                jnp.swapaxes(sol.x_pred[:, :, 7:9], 0, 1)),
+                jnp.swapaxes(x_pred[:, :, 7:9], 0, 1)),
             min_dist_exec=jnp.min(dexec),
             slack_max=jnp.max(jnp.abs(sol.s_pred), axis=(1, 2)))
         return new_state, metrics

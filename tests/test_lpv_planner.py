@@ -313,3 +313,52 @@ def test_single_fleet_schedule_resolution():
 
     short = ExperimentConfig(N=20, map_type="Highway")
     assert resolve_single_fleet_schedule(short) is short
+
+
+def test_hold_on_infeasible_containment():
+    """A solve that cannot converge within its budget must NOT be executed:
+    with hold_on_infeasible (default) the fleet follows the previous plan
+    one more stage (the reference MPCC's solver-failure reset analogue,
+    mpc.cpp:231-252); with the flag off the unconverged iterate is applied
+    (raw reference LPV semantics, LPV_Planner.py:241-249)."""
+    import jax.numpy as jnp
+    from colaborativempc_tpu.config import SolverConfig
+    from colaborativempc_tpu.geometry import make_track
+    from colaborativempc_tpu.runtime.simulate import (
+        make_lpv_fleet_step, init_lpv_fleet,
+    )
+
+    # a 2-iteration budget from a COLD dual start cannot reach eps=1e-6
+    track = make_track("Highway")
+    base = dict(n_agents=2, N=12, dt=0.025, map_type="Highway",
+                solver=SolverConfig(admm_iters=2, eps=1e-6, epoch_len=2))
+    cfg_hold = ExperimentConfig(**base)
+    cfg_raw = ExperimentConfig(**base, hold_on_infeasible=False)
+
+    st0 = init_lpv_fleet(track, cfg_hold)
+    st_h, m_h = make_lpv_fleet_step(track, cfg_hold)(st0)
+    st_r, m_r = make_lpv_fleet_step(track, cfg_raw)(st0)
+
+    assert not bool(np.asarray(m_h.feasible).any())
+    # held: exactly the initial plan shifted by one stage, duals untouched
+    expect_x = np.concatenate([np.asarray(st0.x_pred[:, 1:]),
+                               np.asarray(st0.x_pred[:, -1:])], axis=1)
+    assert np.allclose(np.asarray(st_h.x_pred), expect_x)
+    assert np.allclose(np.asarray(st_h.w), np.asarray(st0.w))
+    # raw: the unconverged iterate was executed (differs from the hold)
+    assert not np.allclose(np.asarray(st_r.x_pred), expect_x)
+
+    # and when solves DO converge, holding is the identity: both configs
+    # produce the same trajectory
+    base_ok = dict(n_agents=2, N=12, dt=0.025, map_type="Highway",
+                   solver=SolverConfig(admm_iters=300, eps=1e-4))
+    st_a = init_lpv_fleet(track, ExperimentConfig(**base_ok))
+    st_b = st_a
+    step_a = make_lpv_fleet_step(track, ExperimentConfig(**base_ok))
+    step_b = make_lpv_fleet_step(
+        track, ExperimentConfig(**base_ok, hold_on_infeasible=False))
+    for _ in range(5):
+        st_a, ma = step_a(st_a)
+        st_b, mb = step_b(st_b)
+        assert bool(np.asarray(ma.feasible).all())
+        assert np.allclose(np.asarray(st_a.x_pred), np.asarray(st_b.x_pred))
