@@ -119,8 +119,15 @@ class OCDConfig(NamedTuple):
 
 class SolverConfig(NamedTuple):
     """On-device QP/SQP engine knobs (no reference equivalent: replaces
-    OSQP/IPOPT option dicts, LPV_Planner.py:233, NL_Planner_Eu.py:172-175)."""
-    admm_iters: int = 300       # ADMM iteration budget (early exit on residuals)
+    OSQP/IPOPT option dicts, LPV_Planner.py:233, NL_Planner_Eu.py:172-175).
+
+    ``admm_iters=None`` resolves contextually (``admm_budget``): 300 on the
+    batched/throughput paths, 1000 on the single-fleet N>=48 latency
+    schedule (``runtime/simulate.py resolve_single_fleet_schedule``). An
+    explicit integer is a pin that every path honours — including an
+    explicit 300 on an N>=48 run (None-sentinel so pins are distinguishable
+    from defaults)."""
+    admm_iters: Optional[int] = None  # ADMM budget (early exit on residuals)
     rho: float = 10.0           # ADMM penalty (plain box rows)
     eps: float = 1e-4           # ADMM residual tolerance (OSQP eps_abs~1e-3)
     alpha_relax: float = 1.6    # ADMM over-relaxation
@@ -148,6 +155,11 @@ class SolverConfig(NamedTuple):
     # (CPU tests / validation).
     use_pallas: bool = False
     pallas_interpret: bool = False
+
+    def admm_budget(self, default: int = 300) -> int:
+        """The concrete ADMM iteration cap: the explicit pin when set, else
+        the caller's contextual default."""
+        return default if self.admm_iters is None else self.admm_iters
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,6 +190,20 @@ class ExperimentConfig:
     # fallback, NL_Planner_Eu.py:200-217). Off = reference LPV semantics
     # (execute whatever came back, LPV_Planner.py:241-249).
     hold_on_infeasible: bool = True
+    # Recovery escalation ladder on top of plan-holding (the fleet-path
+    # analogue of the reference MPCC driver's n_no_solves -> guess-reset
+    # ladder, mpc.cpp:231-252, runtime/racing.py n_reset): plan-holding
+    # contains divergence but an agent whose every retry fails would hold
+    # forever (the s=17.7 jam, BENCH.md round-3 study). After
+    # ``hold_reset_k`` consecutive holds the agent's ADMM warm state
+    # (w, y, rho_scale) is reset before the next solve (stale duals from
+    # the pre-jam geometry stop poisoning it); after ``hold_cold_k``
+    # consecutive holds the agent is cold re-initialised from the track
+    # (fresh constant-acceleration warm-start trajectory from its current
+    # state, utils/warmstart.py — the per-agent generateNewInitialGuess).
+    # None disables a rung. Only active when hold_on_infeasible is set.
+    hold_reset_k: Optional[int] = 3
+    hold_cold_k: Optional[int] = 6
     model: ModelParams = ModelParams()
     limits: SysLimits = SysLimits()
     gains: Optional[Gains] = None

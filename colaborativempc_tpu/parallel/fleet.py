@@ -25,7 +25,7 @@ from colaborativempc_tpu.config.params import ExperimentConfig, lpv_gains
 from colaborativempc_tpu.geometry import Track
 from colaborativempc_tpu.planners.lpv import lpv_solve, LPVSolution
 from colaborativempc_tpu.runtime.simulate import (
-    FleetState, StepMetrics, _per_agent_limits,
+    FleetState, StepMetrics, _per_agent_limits, escalate_holds,
 )
 
 
@@ -49,7 +49,7 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
             x0, x_lin, u_lin, u_old,
             neighbours_xy if multi else None,
             w0=w, y0=y, rho_scale0=rho_scale,
-            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
+            admm_iters=cfg.solver.admm_budget(), rho=cfg.solver.rho,
             alpha_relax=cfg.solver.alpha_relax,
             eps=cfg.solver.eps, lane=lane,
             use_pallas=cfg.solver.use_pallas,
@@ -65,17 +65,25 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
         if cfg.dynamic_lane:
             # per-step lane switch (reference set_lane/checkLane): purely
             # shard-local math — each (scenario, agent) re-localises its
-            # own pose, no collectives involved
+            # own pose, no collectives involved; prev_lane threaded for
+            # exact cross-lane lap bookkeeping (geometry/frenet.py)
             from colaborativempc_tpu.geometry import relocalize, select_lane
             lanes, x0_new = jax.vmap(jax.vmap(
-                lambda x: select_lane(track, x)))(state.x0)
-            x_pred = jax.vmap(jax.vmap(lambda xs, ln: jax.vmap(
-                lambda x: relocalize(track, x, ln))(xs)))(
-                state.x_pred, lanes)
+                lambda x, pl: select_lane(track, x, prev_lane=pl)))(
+                state.x0, state.lane)
+            x_pred = jax.vmap(jax.vmap(lambda xs, ln, pl: jax.vmap(
+                lambda x: relocalize(track, x, ln, old_lane=pl))(xs)))(
+                state.x_pred, lanes, state.lane)
             x_pred = x_pred.at[:, :, 0].set(x0_new)
-            state = state._replace(x0=x0_new, x_pred=x_pred)
+            state = state._replace(x0=x0_new, x_pred=x_pred, lane=lanes)
         else:
-            lanes = jnp.full(state.x0.shape[:2], cfg.lane, jnp.int32)
+            # derived from the carried lane so the value stays varying
+            # over the mesh axes (a bare constant would be replicated
+            # and break the scan carry type inside shard_map)
+            lanes = state.lane * 0 + cfg.lane
+
+        # recovery escalation ladder (shard-local, runtime/simulate.py)
+        state = escalate_holds(track, cfg, state, lanes)
 
         # THE exchange: gather every agent's (X, Y) plan over ICI
         xy_local = state.x_pred[:, :, :, 7:9]          # (S_l, A_l, N+1, 2)
@@ -119,15 +127,18 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
             y = jnp.where(ok4, sol.y, state.y)
             rho_scale = jnp.where(ok[:, :, None], sol.rho_scale,
                                   state.rho_scale)
+            hold_count = jnp.where(ok, 0, state.hold_count + 1)
         else:
             x_pred, u_pred = sol.x_pred, sol.u_pred
             w, y, rho_scale = sol.w, sol.y, sol.rho_scale
+            hold_count = state.hold_count
 
         new_state = FleetState(
             x0=x_pred[:, :, 1, :],
             x_pred=x_pred, u_pred=u_pred,
             u_old=u_pred[:, :, 0, :],
-            w=w, y=y, rho_scale=rho_scale)
+            w=w, y=y, rho_scale=rho_scale,
+            lane=lanes, hold_count=hold_count)
 
         # fleet-wide min pairwise distance per scenario: reduce over agents
         all_xy_new = jax.lax.all_gather(
@@ -158,7 +169,9 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
         x0=P(scen_axis, agent_axis), x_pred=P(scen_axis, agent_axis),
         u_pred=P(scen_axis, agent_axis), u_old=P(scen_axis, agent_axis),
         w=P(scen_axis, agent_axis), y=P(scen_axis, agent_axis),
-        rho_scale=P(scen_axis, agent_axis))
+        rho_scale=P(scen_axis, agent_axis),
+        lane=P(scen_axis, agent_axis),
+        hold_count=P(scen_axis, agent_axis))
     metrics_spec = StepMetrics(
         feasible=P(scen_axis, agent_axis),
         iterations=P(scen_axis, agent_axis),

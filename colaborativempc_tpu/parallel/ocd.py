@@ -28,7 +28,9 @@ from colaborativempc_tpu.runtime.ocd import (
     OCDFleetState, OCDStepMetrics, _dual_step,
     _contain_nonfinite, _bisector_planes,
 )
-from colaborativempc_tpu.runtime.simulate import _per_agent_limits
+from colaborativempc_tpu.runtime.simulate import (
+    _per_agent_limits, escalate_holds,
+)
 
 
 class _ShardedLoopState(NamedTuple):
@@ -85,7 +87,7 @@ def _sharded_ocd_parts(track: Track, cfg: ExperimentConfig,
             sqp_iters=cfg.solver.sqp_iters, sqp_mix=cfg.solver.line_search,
             u_trust=(cfg.solver.u_trust_delta, cfg.solver.u_trust_acc),
             coupling=cfg.coupling, lane=cfg.lane,
-            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
+            admm_iters=cfg.solver.admm_budget(), rho=cfg.solver.rho,
             alpha_relax=cfg.solver.alpha_relax, eps=cfg.solver.eps,
             planes0=pl,
             use_pallas=cfg.solver.use_pallas,
@@ -104,6 +106,10 @@ def _sharded_ocd_parts(track: Track, cfg: ExperimentConfig,
         a_idx = jax.lax.axis_index(agent_axis)
         gids = a_idx * A_l + jnp.arange(A_l)          # global agent ids
         ids = jnp.arange(n_ag)
+        # recovery escalation ladder (shard-local per (scenario, agent);
+        # runtime/simulate.py escalate_holds)
+        lanes = state.lane * 0 + cfg.lane  # varying over the mesh axes
+        state = escalate_holds(track, cfg, state, lanes)
 
         def ocd_iteration(st: _ShardedLoopState) -> _ShardedLoopState:
             # exchange over ICI
@@ -234,25 +240,50 @@ def _sharded_ocd_parts(track: Track, cfg: ExperimentConfig,
 
         out = jax.lax.while_loop(cond, ocd_iteration, loop0)
 
+        # per-(scenario, agent) plan-holding on the executed plan — the
+        # sharded twin of runtime/ocd.py finalize (identical semantics:
+        # duals keep their updated values, ADMM warm state keeps its
+        # pre-failure values, the failed agent follows its previous plan
+        # one more stage). Purely shard-local, no collectives.
+        if cfg.hold_on_infeasible:
+            ok = out.feasible                                 # (S_l, A_l)
+            ok4 = ok[..., None, None]
+            hold_x = jnp.concatenate(
+                [state.x_pred[:, :, 1:], state.x_pred[:, :, -1:]], axis=2)
+            hold_u = jnp.concatenate(
+                [state.u_pred[:, :, 1:], state.u_pred[:, :, -1:]], axis=2)
+            x_fin = jnp.where(ok4, out.x_pred, hold_x)
+            u_fin = jnp.where(ok4, out.u_pred, hold_u)
+            w_fin = jnp.where(ok4, out.w, state.w)
+            y_fin = jnp.where(ok4, out.y, state.y)
+            rs_fin = jnp.where(ok[..., None], out.rho_scale,
+                               state.rho_scale)
+            hold_count = jnp.where(ok, 0, state.hold_count + 1)
+        else:
+            x_fin, u_fin = out.x_pred, out.u_pred
+            w_fin, y_fin, rs_fin = out.w, out.y, out.rho_scale
+            hold_count = state.hold_count
+
         x_shift = jnp.concatenate(
-            [out.x_pred[:, :, 1:], out.x_pred[:, :, -1:]], axis=2)
+            [x_fin[:, :, 1:], x_fin[:, :, -1:]], axis=2)
         u_shift = jnp.concatenate(
-            [out.u_pred[:, :, 1:], out.u_pred[:, :, -1:]], axis=2)
+            [u_fin[:, :, 1:], u_fin[:, :, -1:]], axis=2)
         new_state = OCDFleetState(
-            x0=out.x_pred[:, :, 1, :], x_pred=x_shift, u_pred=u_shift,
-            u_old=out.u_pred[:, :, 0, :],
-            lambdas=out.lambdas, w=out.w, y=out.y,
-            rho_scale=out.rho_scale)
+            x0=x_fin[:, :, 1, :], x_pred=x_shift, u_pred=u_shift,
+            u_old=u_fin[:, :, 0, :],
+            lambdas=out.lambdas, w=w_fin, y=y_fin,
+            rho_scale=rs_fin,
+            lane=state.lane, hold_count=hold_count)
 
         exec_xy = jax.lax.all_gather(
-            out.x_pred[:, :, 1, 7:9], agent_axis, axis=1, tiled=True)
+            x_fin[:, :, 1, 7:9], agent_axis, axis=1, tiled=True)
         dd = exec_xy[:, :, None, :] - exec_xy[:, None, :, :]
         de = jnp.sqrt(jnp.sum(dd * dd, axis=-1) + 1e-12)
         de = de + jnp.eye(n_ag)[None] * 1e9
         min_de = jax.lax.pmin(jnp.min(de, axis=(1, 2)), agent_axis)
 
         pred_xy = jax.lax.all_gather(
-            out.x_pred[:, :, 1:, 7:9], agent_axis, axis=1, tiled=True)
+            x_fin[:, :, 1:, 7:9], agent_axis, axis=1, tiled=True)
         pd = pred_xy[:, :, None] - pred_xy[:, None, :]
         pdist = jnp.sqrt(jnp.sum(pd * pd, axis=-1) + 1e-12)
         pdist = pdist + jnp.eye(n_ag)[None, :, :, None] * 1e9
@@ -271,7 +302,9 @@ def _sharded_ocd_parts(track: Track, cfg: ExperimentConfig,
         u_pred=P(scen_axis, agent_axis), u_old=P(scen_axis, agent_axis),
         lambdas=P(scen_axis),   # replicated over agents
         w=P(scen_axis, agent_axis), y=P(scen_axis, agent_axis),
-        rho_scale=P(scen_axis, agent_axis))
+        rho_scale=P(scen_axis, agent_axis),
+        lane=P(scen_axis, agent_axis),
+        hold_count=P(scen_axis, agent_axis))
     metrics_spec = OCDStepMetrics(
         ocd_iterations=P(scen_axis),
         feasible=P(scen_axis, agent_axis),
@@ -337,7 +370,9 @@ def place_ocd_batch(batched: OCDFleetState, mesh: Mesh,
         u_pred=P(scen_axis, agent_axis), u_old=P(scen_axis, agent_axis),
         lambdas=P(scen_axis),
         w=P(scen_axis, agent_axis), y=P(scen_axis, agent_axis),
-        rho_scale=P(scen_axis, agent_axis))
+        rho_scale=P(scen_axis, agent_axis),
+        lane=P(scen_axis, agent_axis),
+        hold_count=P(scen_axis, agent_axis))
     return jax.tree.map(put, batched, specs)
 
 

@@ -301,7 +301,14 @@ def mpcc_solve(track: Track, gains: MPCCGains, p: PacejkaParams,
         w_n = jnp.where(ok, sol.w, w)
         y_n = jnp.where(ok, sol.y, y)
         rs_n = jnp.where(ok, sol.rho_scale, rs)
-        stats = (sol.feasible, sol.r_prim, sol.iterations, ~ok)
+        # the reference counts EVERY solver_status != 0 toward
+        # n_no_solves_sqp_ — including accepted-inaccurate status-1 solves
+        # whose update IS applied (mpc.cpp:239-244 status<=1 apply /
+        # status!=0 count split). Mirror that: finite-but-infeasible solves
+        # are mixed in (ok) but still count as fails so the driver's
+        # n_reset ladder triggers under persistent inaccuracy.
+        fail = (~ok) | (~sol.feasible)
+        stats = (sol.feasible, sol.r_prim, sol.iterations, fail)
         return (x_mix, u_mix, w_n, y_n, rs_n), stats
 
     m = 7
@@ -404,6 +411,10 @@ class MPCCConfig:
     plant_substeps: int = 4      # RK4 sub-steps per control period
                                  # (integrator.cpp simTimeStep fine steps)
     normalize: bool = True       # solve in normalised variables (params.h T_x/T_u)
+    # reference normalization.json supplying the T_x/T_u scales (loaded by
+    # mpcc_config_from_json from the master file's normalization_path,
+    # main.cpp:33-41); None = MPCCNormalization.default(dt)
+    normalization_path: Optional[str] = None
     admm_iters: int = 200
     rho: float = 10.0
     # Riccati scheduling passthrough (ops/admm.py admm_solve; None = the
@@ -420,7 +431,12 @@ class MPCCConfig:
     verb: int = 0
 
     def normalization(self) -> Optional[MPCCNormalization]:
-        return MPCCNormalization.default(self.dt) if self.normalize else None
+        if not self.normalize:
+            return None
+        if self.normalization_path is not None:
+            return MPCCNormalization.from_reference(self.normalization_path,
+                                                    self.dt)
+        return MPCCNormalization.default(self.dt)
 
 
 def _resolve(base_dir: str, rel: str) -> str:
@@ -469,6 +485,9 @@ def mpcc_config_from_json(path: str, **overrides) -> MPCCConfig:
         if "bounds_path" in raw:
             kw["bounds"] = mpcc_bounds_from_reference(
                 _resolve(base_dir, raw["bounds_path"]))
+        if "normalization_path" in raw:
+            kw["normalization_path"] = _resolve(
+                base_dir, raw["normalization_path"])
         kw.update(overrides)
         return MPCCConfig(**kw)
     # flat native layout

@@ -70,7 +70,7 @@ def run_lpv_battery(cfg: ExperimentConfig, grid: Sequence[Gains],
             track, gains, cfg.limits, cfg.model, cfg.N, cfg.dt,
             x0, x_lin, u_lin, u_old, neigh if multi else None,
             w0=w, y0=y, rho_scale0=rs,
-            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
+            admm_iters=cfg.solver.admm_budget(), rho=cfg.solver.rho,
             alpha_relax=cfg.solver.alpha_relax,
             eps=cfg.solver.eps, lane=cfg.lane,
             use_pallas=cfg.solver.use_pallas,
@@ -86,7 +86,8 @@ def run_lpv_battery(cfg: ExperimentConfig, grid: Sequence[Gains],
         new_state = FleetState(
             x0=sol.x_pred[:, 1, :], x_pred=sol.x_pred, u_pred=sol.u_pred,
             u_old=sol.u_pred[:, 0, :], w=sol.w, y=sol.y,
-            rho_scale=sol.rho_scale)
+            rho_scale=sol.rho_scale,
+            lane=state.lane, hold_count=state.hold_count)
         pe = sol.x_pred[:, 1, 7:9]
         de = jnp.sqrt(jnp.sum((pe[:, None] - pe[None, :]) ** 2, axis=-1)
                       + 1e-12) + jnp.eye(pe.shape[0]) * 1e9

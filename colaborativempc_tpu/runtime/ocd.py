@@ -42,6 +42,8 @@ class OCDFleetState(NamedTuple):
     w: jnp.ndarray         # (n_ag, N, m)
     y: jnp.ndarray
     rho_scale: jnp.ndarray
+    lane: jnp.ndarray      # (n_ag,) int32 lane each x0's Frenet row lives on
+    hold_count: jnp.ndarray  # (n_ag,) int32 consecutive plan-holds (ladder)
 
 
 class _OCDLoopState(NamedTuple):
@@ -180,7 +182,7 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
             sqp_iters=cfg.solver.sqp_iters, sqp_mix=cfg.solver.line_search,
             u_trust=(cfg.solver.u_trust_delta, cfg.solver.u_trust_acc),
             coupling=cfg.coupling, lane=lane,
-            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
+            admm_iters=cfg.solver.admm_budget(), rho=cfg.solver.rho,
             alpha_relax=cfg.solver.alpha_relax, eps=cfg.solver.eps,
             planes0=pl,
             use_pallas=cfg.solver.use_pallas,
@@ -190,15 +192,22 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
 
     def prepare(state: OCDFleetState) -> OCDFleetState:
         """Per-control-step dynamic lane switch (reference set_lane/
-        checkLane): re-localise x0 and the linearisation trajectory onto
-        each agent's winning lane before the coordination loop."""
-        if not cfg.dynamic_lane:
-            return state
-        lanes, x0_new = jax.vmap(lambda x: select_lane(track, x))(state.x0)
-        x_pred = jax.vmap(lambda xs, ln: jax.vmap(
-            lambda x: relocalize(track, x, ln))(xs))(state.x_pred, lanes)
-        x_pred = x_pred.at[:, 0].set(x0_new)
-        return state._replace(x0=x0_new, x_pred=x_pred)
+        checkLane) — prev_lane threaded for exact cross-lane lap
+        bookkeeping — then the recovery escalation ladder
+        (simulate.escalate_holds) before the coordination loop."""
+        from colaborativempc_tpu.runtime.simulate import escalate_holds
+        if cfg.dynamic_lane:
+            lanes, x0_new = jax.vmap(
+                lambda x, pl: select_lane(track, x, prev_lane=pl))(
+                state.x0, state.lane)
+            x_pred = jax.vmap(lambda xs, ln, pl: jax.vmap(
+                lambda x: relocalize(track, x, ln, old_lane=pl))(xs))(
+                state.x_pred, lanes, state.lane)
+            x_pred = x_pred.at[:, 0].set(x0_new)
+            state = state._replace(x0=x0_new, x_pred=x_pred, lane=lanes)
+        else:
+            lanes = jnp.full((n_ag,), cfg.lane, jnp.int32)
+        return escalate_holds(track, cfg, state, lanes)
 
     def agent_lanes(x0):
         if cfg.dynamic_lane:
@@ -345,25 +354,55 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
         # force min_it_ocd, run until finished (NL_EU_N_main.py:105)
         return ~((st.it_ocd > ocd.min_it_ocd) & st.finished)
 
-    def finalize(out: _OCDLoopState):
+    def finalize(out: _OCDLoopState, state: OCDFleetState):
+        # Solver-failure containment on the EXECUTED plan, the NL twin of
+        # the LPV step's hold_on_infeasible (runtime/simulate.py): an agent
+        # whose final sub-problem solve ended above the feasibility
+        # tolerance does NOT execute that plan — it follows its previous
+        # plan one more stage and retries next step from that saner
+        # linearisation. Coupling duals KEEP their updated values (the
+        # coordination knowledge is sound; it is the primal solve that
+        # failed); the agent's ADMM warm state keeps its pre-failure
+        # values. Without this the closed loop executes unconverged plans
+        # (reference degraded-solve semantics, NL_EU_N_main.py:113-115),
+        # which the full-course study showed compounds to fleet deadlock/
+        # divergence at long horizons (BENCH.md). Identity on feasible
+        # steps (equality-tested).
+        if cfg.hold_on_infeasible:
+            ok = out.feasible
+            ok3 = ok[:, None, None]
+            hold_x = jnp.concatenate(
+                [state.x_pred[:, 1:], state.x_pred[:, -1:]], axis=1)
+            hold_u = jnp.concatenate(
+                [state.u_pred[:, 1:], state.u_pred[:, -1:]], axis=1)
+            x_fin = jnp.where(ok3, out.x_pred, hold_x)
+            u_fin = jnp.where(ok3, out.u_pred, hold_u)
+            w_fin = jnp.where(ok3, out.w, state.w)
+            y_fin = jnp.where(ok3, out.y, state.y)
+            rs_fin = jnp.where(ok[:, None], out.rho_scale, state.rho_scale)
+            hold_count = jnp.where(ok, 0, state.hold_count + 1)
+        else:
+            x_fin, u_fin = out.x_pred, out.u_pred
+            w_fin, y_fin, rs_fin = out.w, out.y, out.rho_scale
+            hold_count = state.hold_count
+
         # control-step shift (NL_EU_N_main.py:170-172): x0 <- x_pred[1],
         # linearisation trajectory <- shifted prediction
-        x_shift = jnp.concatenate(
-            [out.x_pred[:, 1:], out.x_pred[:, -1:]], axis=1)
-        u_shift = jnp.concatenate(
-            [out.u_pred[:, 1:], out.u_pred[:, -1:]], axis=1)
+        x_shift = jnp.concatenate([x_fin[:, 1:], x_fin[:, -1:]], axis=1)
+        u_shift = jnp.concatenate([u_fin[:, 1:], u_fin[:, -1:]], axis=1)
         new_state = OCDFleetState(
-            x0=out.x_pred[:, 1, :],
+            x0=x_fin[:, 1, :],
             x_pred=x_shift, u_pred=u_shift,
-            u_old=out.u_pred[:, 0, :],
-            lambdas=out.lambdas, w=out.w, y=out.y,
-            rho_scale=out.rho_scale)
+            u_old=u_fin[:, 0, :],
+            lambdas=out.lambdas, w=w_fin, y=y_fin,
+            rho_scale=rs_fin,
+            lane=state.lane, hold_count=hold_count)
 
-        p = out.x_pred[:, 1:, 7:9]
+        p = x_fin[:, 1:, 7:9]
         diff = p[:, None] - p[None, :]
         dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
         dist = dist + jnp.eye(n_ag)[:, :, None] * 1e9
-        pe = out.x_pred[:, 1, 7:9]
+        pe = x_fin[:, 1, 7:9]
         de = jnp.sqrt(jnp.sum((pe[:, None] - pe[None, :]) ** 2, axis=-1)
                       + 1e-12) + jnp.eye(n_ag) * 1e9
         metrics = OCDStepMetrics(
@@ -387,7 +426,7 @@ def make_nl_ocd_step(track: Track, cfg: ExperimentConfig):
         out = jax.lax.while_loop(
             cond, lambda st: ocd_iteration(st, state.x0, state.u_old),
             loop_init(state))
-        return finalize(out)
+        return finalize(out, state)
 
     return jax.jit(step)
 
@@ -408,7 +447,7 @@ def make_nl_ocd_rollout(track: Track, cfg: ExperimentConfig, steps: int):
         out = jax.lax.while_loop(
             cond, lambda st: ocd_iteration(st, state.x0, state.u_old),
             loop_init(state))
-        return finalize(out)
+        return finalize(out, state)
 
     def rollout(state: OCDFleetState):
         def body(st, _):
@@ -438,7 +477,7 @@ def make_nl_ocd_rollout_gains(track: Track, cfg: ExperimentConfig,
             cond,
             lambda st: ocd_iteration(st, state.x0, state.u_old, gains),
             loop_init(state))
-        return finalize(out)
+        return finalize(out, state)
 
     def rollout(gains, state: OCDFleetState):
         def body(st, _):
@@ -489,7 +528,7 @@ def make_nl_ocd_instrumented(track: Track, cfg: ExperimentConfig):
                 delta = float(np.abs(np.asarray(st.x_pred)
                                      - np.asarray(st.x_old)).max())
                 on_iteration(int(st.it_ocd), dt_it, delta)
-        new_state, metrics = fin_jit(st)
+        new_state, metrics = fin_jit(st, state)
         return new_state, metrics, iter_times
 
     return step
@@ -518,7 +557,9 @@ def init_nl_fleet(track: Track, cfg: ExperimentConfig,
         lambdas=lambdas0,
         w=jnp.zeros((cfg.n_agents, cfg.N, m), dtype),
         y=jnp.zeros((cfg.n_agents, cfg.N, m), dtype),
-        rho_scale=jnp.ones((cfg.n_agents, m), dtype))
+        rho_scale=jnp.ones((cfg.n_agents, m), dtype),
+        lane=jnp.full((cfg.n_agents,), cfg.lane, jnp.int32),
+        hold_count=jnp.zeros((cfg.n_agents,), jnp.int32))
 
 
 class NLExperimentResult(NamedTuple):
@@ -546,14 +587,14 @@ def run_nl_experiment(cfg: ExperimentConfig,
         # float64 experiments run as a scoped x64 island (utils/precision.py)
         with dtype_island(cfg.dtype):
             return run_nl_experiment(cfg, x0s, lambdas0, track, io)
-    if cfg.solver.epoch_len is None and cfg.N >= 48:
-        # single-fleet latency schedule (same rationale as
-        # run_lpv_experiment): frequent rho adaptation cuts N=125 OCD
-        # control steps from p50 279 / p95 695 ms to p50 261 / p95 524 ms
-        # (BENCH.md); batched/sharded paths keep the throughput default.
-        import dataclasses
-        cfg = dataclasses.replace(
-            cfg, solver=cfg.solver._replace(epoch_len=15))
+    # Full single-fleet latency schedule, shared with run_lpv_experiment
+    # (runtime/simulate.py resolve_single_fleet_schedule): epoch_len=15
+    # (frequent rho adaptation), blocked-assoc Riccati, admm_iters>=1000 —
+    # measured on NL N=125 in BENCH.md round 4; batched/sharded paths keep
+    # the throughput defaults. Pin any SolverConfig knob to override.
+    from colaborativempc_tpu.runtime.simulate import (
+        resolve_single_fleet_schedule)
+    cfg = resolve_single_fleet_schedule(cfg)
     if track is None:
         track = make_track(cfg.map_type,
                            dtype=jnp.float64 if cfg.dtype == "float64"

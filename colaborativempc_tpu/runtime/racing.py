@@ -199,7 +199,12 @@ def _make_mpcc_step_fn(track: Track, cfg: MPCCConfig):
 
         x_keep = jnp.where(finite, sol.x_pred, x_bar)
         u_keep = jnp.where(finite, sol.u_pred, u_bar)
-        u0 = jnp.where(finite, sol.u_pred[0], jnp.zeros(2, x0.dtype))
+        # on a rejected solve the reference returns the SHIFTED previous
+        # plan's first input (runMPC returns initial_guess_[0].uk,
+        # mpc.cpp:255-258), not zero torque/steer at speed — u_bar[0] is
+        # exactly that shifted input (or the cold guess's zero input after
+        # a reset), so failure steps follow the held plan
+        u0 = jnp.where(finite, sol.u_pred[0], u_bar[0])
         x_next = _plant_rk4(track, cfg, x0, u0)
 
         new_state = MPCCState(

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from colaborativempc_tpu.config.params import (
-    ExperimentConfig, SolverConfig, lpv_gains)
+    ExperimentConfig, lpv_gains)
 from colaborativempc_tpu.geometry import Track, make_track, check_end
 from colaborativempc_tpu.planners.lpv import lpv_solve, LPVSolution
 from colaborativempc_tpu.utils.warmstart import initialise_agents
@@ -37,6 +37,8 @@ class FleetState(NamedTuple):
     w: jnp.ndarray        # (n_ag, N, m) ADMM splitting warm start
     y: jnp.ndarray        # (n_ag, N, m)
     rho_scale: jnp.ndarray  # (n_ag, m) per-row-class adaptive-rho warm start
+    lane: jnp.ndarray     # (n_ag,) int32 lane each x0's Frenet row lives on
+    hold_count: jnp.ndarray  # (n_ag,) int32 consecutive plan-holds (ladder)
 
 
 class StepMetrics(NamedTuple):
@@ -78,6 +80,63 @@ def _per_agent_limits(cfg: ExperimentConfig):
         cfg.limits)
 
 
+def escalate_holds(track: Track, cfg: ExperimentConfig, state, lanes):
+    """Recovery escalation ladder, applied BEFORE the step's solve.
+
+    Plan-holding (``hold_on_infeasible``) contains an infeasible solve by
+    executing the previous plan one more stage — but an agent whose every
+    retry fails would hold forever (the s=17.7 jam, BENCH.md round-3
+    perturbed-start study). This is the fleet-path port of the reference
+    MPCC driver's failure ladder (``mpc.cpp:231-252`` n_no_solves_ ->
+    resetInitialGuess; ``runtime/racing.py`` n_reset):
+
+    - ``hold_count >= cfg.hold_reset_k``: reset the agent's ADMM warm state
+      (w, y, rho_scale) so duals adapted to the pre-jam geometry stop
+      poisoning the retry; the held plan stays the linearisation.
+    - ``hold_count >= cfg.hold_cold_k``: cold re-initialise the agent — a
+      fresh constant-acceleration warm-start trajectory from its CURRENT
+      state on its current lane (utils/warmstart.py, the reference's
+      generateNewInitialGuess / predicted_vectors_generation) replaces the
+      stale plan, warm state resets, and the hold budget restarts.
+
+    Generic over leading batch axes: works on (n_ag, ...) fleet states and
+    (S_local, A_local, ...) sharded states alike (``hold_count``'s shape
+    defines the batch shape). Identity when no agent is escalating.
+    """
+    if not cfg.hold_on_infeasible or (cfg.hold_reset_k is None
+                                      and cfg.hold_cold_k is None):
+        return state
+    from colaborativempc_tpu.utils.warmstart import warmstart_trajectory
+    hc = state.hold_count
+
+    def bc(mask, ref):
+        return mask.reshape(mask.shape + (1,) * (ref.ndim - mask.ndim))
+
+    x_pred, u_pred, hold_count = state.x_pred, state.u_pred, hc
+    if cfg.hold_cold_k is not None:
+        cold = hc >= cfg.hold_cold_k
+        ws = lambda x, ln: warmstart_trajectory(  # noqa: E731
+            track, x, cfg.N, cfg.dt, lane=ln)
+        for _ in range(hc.ndim):
+            ws = jax.vmap(ws)
+        x_ws, u_ws = ws(state.x0, lanes)
+        x_pred = jnp.where(bc(cold, x_pred), x_ws, x_pred)
+        u_pred = jnp.where(bc(cold, u_pred), u_ws.astype(u_pred.dtype),
+                           u_pred)
+        hold_count = jnp.where(cold, 0, hold_count)
+    else:
+        cold = jnp.zeros(hc.shape, bool)
+    reset = cold
+    if cfg.hold_reset_k is not None:
+        reset = reset | (hc >= cfg.hold_reset_k)
+    w = jnp.where(bc(reset, state.w), jnp.zeros_like(state.w), state.w)
+    y = jnp.where(bc(reset, state.y), jnp.zeros_like(state.y), state.y)
+    rho_scale = jnp.where(bc(reset, state.rho_scale),
+                          jnp.ones_like(state.rho_scale), state.rho_scale)
+    return state._replace(x_pred=x_pred, u_pred=u_pred, w=w, y=y,
+                          rho_scale=rho_scale, hold_count=hold_count)
+
+
 def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
     """Build the jitted one-control-step function for the whole fleet."""
     gains = cfg.gains if cfg.gains is not None else lpv_gains()
@@ -95,7 +154,7 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
             x0, x_lin, u_lin, u_old,
             neighbours_xy if multi else None,
             w0=w, y0=y, rho_scale0=rho_scale,
-            admm_iters=cfg.solver.admm_iters, rho=cfg.solver.rho,
+            admm_iters=cfg.solver.admm_budget(), rho=cfg.solver.rho,
             alpha_relax=cfg.solver.alpha_relax,
             eps=cfg.solver.eps, lane=lane,
             use_pallas=cfg.solver.use_pallas,
@@ -108,17 +167,23 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
             # per-step lane switch (reference set_lane/checkLane): each
             # agent's pose picks the lane, the Frenet entries of x0 AND the
             # linearisation trajectory are re-localised onto it so the QP's
-            # curvature/half-width rows follow
+            # curvature/half-width rows follow. The previously selected lane
+            # is threaded as prev_lane so the lap count carried in s stays
+            # exact across cross-lane switches when lanes differ in length
+            # (geometry/frenet.py relocalize old_lane).
             from colaborativempc_tpu.geometry import relocalize, select_lane
-            lanes, x0_new = jax.vmap(lambda x: select_lane(track, x))(
-                state.x0)
-            x_pred = jax.vmap(lambda xs, ln: jax.vmap(
-                lambda x: relocalize(track, x, ln))(xs))(
-                state.x_pred, lanes)
+            lanes, x0_new = jax.vmap(
+                lambda x, pl: select_lane(track, x, prev_lane=pl))(
+                state.x0, state.lane)
+            x_pred = jax.vmap(lambda xs, ln, pl: jax.vmap(
+                lambda x: relocalize(track, x, ln, old_lane=pl))(xs))(
+                state.x_pred, lanes, state.lane)
             x_pred = x_pred.at[:, 0].set(x0_new)
-            state = state._replace(x0=x0_new, x_pred=x_pred)
+            state = state._replace(x0=x0_new, x_pred=x_pred, lane=lanes)
         else:
             lanes = jnp.full((cfg.n_agents,), cfg.lane, jnp.int32)
+
+        state = escalate_holds(track, cfg, state, lanes)
 
         # the "communication": everyone reads everyone's (X, Y) plan
         # (reference LPV_HP_N_main.py:117 swapaxes; one all_gather on a mesh)
@@ -156,15 +221,18 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
             y = jnp.where(ok3, sol.y, state.y)
             rho_scale = jnp.where(ok[:, None], sol.rho_scale,
                                   state.rho_scale)
+            hold_count = jnp.where(ok, 0, state.hold_count + 1)
         else:
             x_pred, u_pred = sol.x_pred, sol.u_pred
             w, y, rho_scale = sol.w, sol.y, sol.rho_scale
+            hold_count = state.hold_count
 
         new_state = FleetState(
             x0=x_pred[:, 1, :],            # x0 shift (prediction = plant)
             x_pred=x_pred, u_pred=u_pred,
             u_old=u_pred[:, 0, :],
-            w=w, y=y, rho_scale=rho_scale)
+            w=w, y=y, rho_scale=rho_scale,
+            lane=lanes, hold_count=hold_count)
         exec_xy = x_pred[:, 1, 7:9]                   # applied next states
         dd = exec_xy[:, None, :] - exec_xy[None, :, :]
         dexec = jnp.sqrt(jnp.sum(dd * dd, axis=-1) + 1e-12)
@@ -224,7 +292,9 @@ def init_lpv_fleet(track: Track, cfg: ExperimentConfig,
         u_old=jnp.zeros((cfg.n_agents, 2), dtype),
         w=jnp.zeros((cfg.n_agents, cfg.N, m), dtype),
         y=jnp.zeros((cfg.n_agents, cfg.N, m), dtype),
-        rho_scale=jnp.ones((cfg.n_agents, m), dtype))
+        rho_scale=jnp.ones((cfg.n_agents, m), dtype),
+        lane=jnp.full((cfg.n_agents,), cfg.lane, jnp.int32),
+        hold_count=jnp.zeros((cfg.n_agents,), jnp.int32))
 
 
 class ExperimentResult(NamedTuple):
@@ -259,8 +329,9 @@ def resolve_single_fleet_schedule(cfg: ExperimentConfig) -> ExperimentConfig:
         — budget-capped it is not. Early exit on residuals makes the
         higher cap free on easy steps.
 
-    Each knob only fills in when left at its default; pin
-    solver.epoch_len / assoc / admm_iters to override.
+    Each knob only fills in when left unset (None); pin
+    solver.epoch_len / assoc / admm_iters to override — an explicit
+    admm_iters=300 stays 300 (None-sentinel, SolverConfig.admm_budget).
     """
     if cfg.N < 48:
         return cfg
@@ -269,8 +340,7 @@ def resolve_single_fleet_schedule(cfg: ExperimentConfig) -> ExperimentConfig:
     return dataclasses.replace(cfg, solver=sv._replace(
         epoch_len=15 if sv.epoch_len is None else sv.epoch_len,
         assoc=True if sv.assoc is None else sv.assoc,
-        admm_iters=1000 if sv.admm_iters == SolverConfig().admm_iters
-        else sv.admm_iters))
+        admm_iters=1000 if sv.admm_iters is None else sv.admm_iters))
 
 
 def run_lpv_experiment(cfg: ExperimentConfig,

@@ -362,3 +362,90 @@ def test_hold_on_infeasible_containment():
         st_b, mb = step_b(st_b)
         assert bool(np.asarray(ma.feasible).all())
         assert np.allclose(np.asarray(st_a.x_pred), np.asarray(st_b.x_pred))
+
+
+def test_escalation_ladder_recovers_poisoned_agent():
+    """Recovery escalation (the fleet-path port of the reference MPCC
+    driver's n_no_solves ladder, mpc.cpp:231-252): an agent whose ADMM dual
+    warm state is poisoned solves infeasibly every step and, with plain
+    plan-holding, jams FOREVER (holds keep the pre-failure warm state).
+    hold_reset_k consecutive holds reset the warm state and the agent
+    recovers; without the ladder the jam persists."""
+    from colaborativempc_tpu.config import SolverConfig, lpv_gains
+    from colaborativempc_tpu.geometry import make_track
+    from colaborativempc_tpu.runtime.simulate import (
+        make_lpv_fleet_step, init_lpv_fleet,
+    )
+    import jax.numpy as jnp
+
+    track = make_track("Highway")
+    base = dict(n_agents=2, N=12, dt=0.025, map_type="Highway",
+                gains=lpv_gains(), solver=SolverConfig(admm_iters=60,
+                                                       eps=1e-4))
+    cfg = ExperimentConfig(**base, hold_reset_k=2, hold_cold_k=6)
+    cfg_off = ExperimentConfig(**base, hold_reset_k=None, hold_cold_k=None)
+
+    st0 = init_lpv_fleet(track, cfg)
+    y = np.array(st0.y)
+    y[0] = 1e5                      # poisoned dual warm state for agent 0
+    st0 = st0._replace(y=jnp.asarray(y))
+
+    step = make_lpv_fleet_step(track, cfg)
+    step_off = make_lpv_fleet_step(track, cfg_off)
+    s1 = s2 = st0
+    feas1, feas2 = [], []
+    for _ in range(4):
+        s1, m1 = step(s1)
+        s2, m2 = step_off(s2)
+        feas1.append(np.asarray(m1.feasible))
+        feas2.append(np.asarray(m2.feasible))
+    feas1, feas2 = np.asarray(feas1), np.asarray(feas2)
+    # healthy agent 1 is untouched in both runs
+    assert feas1[:, 1].all() and feas2[:, 1].all()
+    # jam: agent 0 infeasible while the poisoned duals persist
+    assert not feas1[:2, 0].any() and not feas2[:, 0].any()
+    # recovery: the warm-state reset at hold_count >= 2 fixes step 3 onward
+    assert feas1[2:, 0].all()
+    assert int(s1.hold_count[0]) == 0
+    # without the ladder the hold count just keeps climbing
+    assert int(s2.hold_count[0]) == 4
+
+
+def test_escalate_holds_cold_reinit_unit():
+    """hold_count >= hold_cold_k replaces the agent's plan with a fresh
+    warm-start trajectory from its CURRENT state (the per-agent
+    generateNewInitialGuess, mpc.cpp:175-196), resets the ADMM warm state
+    and restarts the hold budget; other agents are untouched."""
+    from colaborativempc_tpu.config import lpv_gains
+    from colaborativempc_tpu.geometry import make_track
+    from colaborativempc_tpu.runtime.simulate import (
+        escalate_holds, init_lpv_fleet,
+    )
+    from colaborativempc_tpu.utils.warmstart import warmstart_trajectory
+    import jax.numpy as jnp
+
+    track = make_track("Highway")
+    cfg = ExperimentConfig(n_agents=2, N=10, dt=0.025, map_type="Highway",
+                           gains=lpv_gains(), hold_reset_k=3, hold_cold_k=6)
+    st = init_lpv_fleet(track, cfg)
+    st = st._replace(
+        hold_count=jnp.asarray([6, 0], jnp.int32),
+        w=jnp.ones_like(st.w), y=jnp.ones_like(st.y),
+        rho_scale=2.0 * jnp.ones_like(st.rho_scale),
+        x_pred=st.x_pred + 0.5)          # stale plan, distinct from fresh
+    lanes = jnp.zeros(2, jnp.int32)
+    out = escalate_holds(track, cfg, st, lanes)
+
+    x_ws, u_ws = warmstart_trajectory(track, st.x0[0], cfg.N, cfg.dt, lane=0)
+    assert np.allclose(np.asarray(out.x_pred[0]), np.asarray(x_ws))
+    assert np.allclose(np.asarray(out.w[0]), 0.0)
+    assert np.allclose(np.asarray(out.rho_scale[0]), 1.0)
+    assert int(out.hold_count[0]) == 0
+    # agent 1 untouched
+    assert np.allclose(np.asarray(out.x_pred[1]), np.asarray(st.x_pred[1]))
+    assert np.allclose(np.asarray(out.w[1]), 1.0)
+    # identity when nobody escalates
+    st_ok = st._replace(hold_count=jnp.zeros(2, jnp.int32))
+    out_ok = escalate_holds(track, cfg, st_ok, lanes)
+    for a, b in zip(out_ok, st_ok):
+        assert np.allclose(np.asarray(a), np.asarray(b))

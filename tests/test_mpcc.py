@@ -145,6 +145,12 @@ def test_reference_config_loading():
         os.path.join(REF_MPCC, "normalization.json"), cfg.dt)
     assert float(norm.t_x[0]) == pytest.approx(3.0)    # vx
     assert float(norm.t_x[6]) == pytest.approx(20.0)   # s
+    # the master file's normalization_path is carried on the config and
+    # cfg.normalization() returns the LOADED reference scales, not defaults
+    assert cfg.normalization_path is not None
+    assert os.path.exists(cfg.normalization_path)
+    assert np.allclose(np.asarray(cfg.normalization().t_x),
+                       np.asarray(norm.t_x))
     assert float(norm.t_du[0]) == pytest.approx(15.0 * cfg.dt)
 
 
@@ -339,3 +345,29 @@ def test_mpcc_battery_sharded_matches_single_device():
     np.testing.assert_allclose(a.s_hist, b.s_hist, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(a.feasible_frac > 0.9,
                                   b.feasible_frac > 0.9)
+
+
+def test_sqp_fails_counts_inaccurate_solves():
+    """The reference increments n_no_solves_sqp_ for ANY solver status
+    != 0 — including accepted status-1 (inaccurate) solves whose update IS
+    applied (mpc.cpp:239-244). A finite-but-unconverged QP must therefore
+    count toward sqp_fails (driving the driver's n_reset ladder) while
+    still being mixed into the iterate."""
+    track = make_track("oval_mt")
+    # a static at-speed guess violates the dynamics rows: the first SQP
+    # iteration's 1-step ADMM solve is finite but above tolerance (it is
+    # still mixed in — accepted-inaccurate), later warm-started iterations
+    # converge
+    x = jnp.zeros(9, jnp.float32).at[0].set(2.0).at[3].set(0.3)
+    x_bar = jnp.stack([x] * 21)
+    u_bar = jnp.zeros((20, 2), jnp.float32)
+    sol = mpcc_solve(track, MPCCGains(), P, 20, 0.05, x, x_bar, u_bar,
+                     jnp.zeros(2), sqp_iters=3, admm_iters=1)
+    assert bool(np.isfinite(np.asarray(sol.x_pred)).all())
+    assert int(sol.sqp_fails) >= 1      # inaccurate solves counted
+    # the update was still applied (accepted-inaccurate semantics)
+    assert not np.allclose(np.asarray(sol.x_pred), np.asarray(x_bar))
+    # with budget every solve converges and nothing counts
+    sol_ok = mpcc_solve(track, MPCCGains(), P, 20, 0.05, x, x_bar, u_bar,
+                        jnp.zeros(2), sqp_iters=3, admm_iters=400)
+    assert bool(sol_ok.feasible) and int(sol_ok.sqp_fails) == 0

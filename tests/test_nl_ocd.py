@@ -457,3 +457,59 @@ def test_gauss_seidel_hp_opt():
     assert res.steps == 10
     assert res.feasible.all()
     assert res.min_dist_exec.min() > cfg.limits.min_dist * 0.8
+
+
+def test_nl_hold_on_infeasible_containment():
+    """The NL-OCD closed loop must not execute an above-tolerance plan:
+    with hold_on_infeasible (default) a failed agent follows its previous
+    plan one more stage (duals keep their updated values); with the flag
+    off the unconverged iterate is executed (raw reference semantics,
+    NL_EU_N_main.py:113-115)."""
+    track = make_track("Highway")
+    # a 2-iteration ADMM budget from a cold start cannot reach eps=1e-6
+    base = dict(n_agents=2, N=10, dt=0.02, map_type="Highway",
+                gains=nl_gains(), ocd=OCDConfig(max_it_ocd=4),
+                solver=SolverConfig(admm_iters=2, eps=1e-6, epoch_len=2,
+                                    sqp_iters=1))
+    cfg_hold = ExperimentConfig(**base)
+    cfg_raw = ExperimentConfig(**base, hold_on_infeasible=False)
+
+    st0 = init_nl_fleet(track, cfg_hold)
+    st_h, m_h = make_nl_ocd_step(track, cfg_hold)(st0)
+    st_r, m_r = make_nl_ocd_step(track, cfg_raw)(st0)
+
+    assert not bool(np.asarray(m_h.feasible).any())
+    # held: the NEW x_pred is the initial plan shifted TWICE (once by the
+    # hold, once by the control-step shift), x0 = initial plan stage 2
+    x0_init = np.asarray(st0.x_pred)
+    assert np.allclose(np.asarray(st_h.x0), x0_init[:, 2], atol=1e-6)
+    # ADMM warm state kept at its pre-failure values (zeros from init)
+    assert np.allclose(np.asarray(st_h.w), np.asarray(st0.w))
+    assert np.asarray(st_h.hold_count).tolist() == [1, 1]
+    # duals keep their UPDATED values (coordination knowledge persists)
+    assert not np.allclose(np.asarray(st_h.lambdas),
+                           np.asarray(st0.lambdas))
+    # raw: the unconverged iterate was executed (differs from the hold)
+    assert not np.allclose(np.asarray(st_r.x0), x0_init[:, 2], atol=1e-6)
+    assert np.asarray(st_r.hold_count).tolist() == [0, 0]
+
+
+def test_nl_hold_identity_on_feasible():
+    """On feasible runs holding (and the escalation ladder) is the exact
+    identity: hold_on_infeasible True vs False produce identical closed
+    loops."""
+    track = make_track("Highway")
+    base = dict(n_agents=2, N=10, dt=0.02, map_type="Highway",
+                gains=nl_gains(), ocd=OCDConfig(max_it_ocd=10),
+                solver=SolverConfig(admm_iters=200, sqp_iters=2))
+    step_a = make_nl_ocd_step(track, ExperimentConfig(**base))
+    step_b = make_nl_ocd_step(
+        track, ExperimentConfig(**base, hold_on_infeasible=False))
+    st_a = st_b = init_nl_fleet(track, ExperimentConfig(**base))
+    for _ in range(3):
+        st_a, ma = step_a(st_a)
+        st_b, mb = step_b(st_b)
+        assert bool(np.asarray(ma.feasible).all())
+        assert np.allclose(np.asarray(st_a.x_pred), np.asarray(st_b.x_pred))
+        assert np.allclose(np.asarray(st_a.lambdas),
+                           np.asarray(st_b.lambdas))
