@@ -107,6 +107,15 @@ def main():
                     "reference's recorded runs average ~4)")
     ap.add_argument("--short", type=int, default=40,
                     help="short-horizon deviation window")
+    ap.add_argument("--open-loop", type=int, default=0, metavar="K",
+                    help="open-loop parity: compare the first K EXECUTED "
+                    "inputs per agent against the golden u.dat rows 0..K-1. "
+                    "The cold-start warm trajectories are deterministic "
+                    "(utils/warmstart.py = the reference's "
+                    "predicted_vectors_generation, misc.py:168-210), so the "
+                    "first recorded solves are reference-solver outputs on "
+                    "KNOWABLE inputs — this is solver-level parity, not "
+                    "behaviour statistics")
     args = ap.parse_args()
 
     ref_path = (args.ref if os.path.isabs(args.ref)
@@ -185,6 +194,21 @@ def main():
     print("\nbehavioural deltas (ours - reference):")
     for k in r:
         print(f"  {k}: {o[k] - r[k]:+.3f}")
+
+    if args.open_loop:
+        K = min(args.open_loop, len(res.inputs), len(ref))
+        ref_u = np.stack([
+            np.loadtxt(os.path.join(ref_path, "csv", str(a), "u.dat"))
+            for a in range(ref.shape[1])], axis=1)     # (T, n_ag, 2)
+        du = np.abs(np.asarray(res.inputs[:K]) - ref_u[:K])
+        print(f"\nopen-loop parity: first {K} executed inputs vs the "
+              f"golden u.dat (identical deterministic cold start):")
+        print("  step | max|d_steer| [rad] | max|d_accel| [m/s^2]")
+        for k in range(K):
+            print(f"  {k:4d} | {du[k, :, 0].max():12.4f}       | "
+                  f"{du[k, :, 1].max():10.4f}")
+        print(f"  mean | {du[:, :, 0].mean():12.4f}       | "
+              f"{du[:, :, 1].mean():10.4f}")
 
 
 if __name__ == "__main__":

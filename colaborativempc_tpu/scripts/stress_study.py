@@ -1,0 +1,185 @@
+"""Closed-loop robustness studies: full-course, perturbed starts, latency.
+
+The reference validates its planners only on the canonical golden starts
+(``planner/scripts/*_main.py`` with the x0 database); this CLI productises
+the round-3/4 robustness methodology from BENCH.md so the hard-window
+behaviour (the Highway k=0.35 curve congestion), the stressed-start
+boundary and the long-horizon latency schedule stay reproducible:
+
+- ``full-course``: one flagship run to course completion (LPV or NL-OCD,
+  any coupling), reporting bad steps (solves above the feasibility
+  tolerance — held, not executed, when hold_on_infeasible), plan-hold
+  counts, completion and latency percentiles.
+- ``perturbed``: N jittered cold starts at the curve-2 entry (s ~ 15-16.5,
+  the hardest region found in round 3) — the Monte-Carlo that exposed the
+  jam the recovery escalation ladder (config hold_reset_k/hold_cold_k)
+  was built to close.
+- ``latency``: warm per-step latency percentiles for the single-fleet
+  schedule (the numbers behind BENCH.md's N=125 tables).
+
+Examples:
+  cmpc-stress full-course --family nl-eu --n 125 --steps 700
+  cmpc-stress perturbed --starts 8 --steps 550 --variant assoc
+  cmpc-stress latency --family nl-eu --n 125 --steps 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+from colaborativempc_tpu.scripts._common import setup_backend
+
+
+def _mk_cfg(family: str, N: int, steps: int, admm_iters=None,
+            assoc=None, eps=1e-4, hold=True, ladder=True):
+    from colaborativempc_tpu.config import (
+        ExperimentConfig, SolverConfig, OCDConfig, lpv_gains, nl_gains,
+    )
+    solver = SolverConfig(admm_iters=admm_iters, assoc=assoc, eps=eps)
+    base = dict(N=N, n_agents=3, dt=0.025, map_type="Highway",
+                max_it=steps, laps=1, hold_on_infeasible=hold,
+                hold_reset_k=3 if ladder else None,
+                hold_cold_k=6 if ladder else None,
+                solver=solver)
+    if family == "lpv":
+        return ExperimentConfig(**base, gains=lpv_gains())
+    coupling = {"nl-eu": "eu", "nl-hp": "hp", "nl-hp_opt": "hp_opt"}[family]
+    return ExperimentConfig(**base, gains=nl_gains(), coupling=coupling,
+                            ocd=OCDConfig(max_it_ocd=30))
+
+
+def _run(family: str, cfg, x0s=None):
+    from colaborativempc_tpu.runtime import run_lpv_experiment
+    from colaborativempc_tpu.runtime.ocd import run_nl_experiment
+    if family.startswith("nl"):
+        return run_nl_experiment(cfg, x0s=x0s)
+    return run_lpv_experiment(cfg, x0s=x0s)
+
+
+def _report(name, cfg, res, t_wall):
+    import jax
+    from colaborativempc_tpu.geometry import make_track
+    track = make_track(cfg.map_type)
+    L = float(np.asarray(track.track_length)[cfg.lane])
+    s_final = np.asarray(res.states[-1][:, 6]) if res.steps else np.zeros(3)
+    feas = np.asarray(res.feasible)
+    bad = int((~feas.all(axis=1)).sum())
+    holds = bad if cfg.hold_on_infeasible else 0
+    times = np.asarray(res.step_times)
+    warm = times[3:] if len(times) > 6 else times
+    out = {
+        "study": name,
+        "backend": jax.default_backend(),
+        "steps": int(res.steps),
+        "finished": bool(res.finished),
+        "complete_all": bool(res.finished
+                             and np.isfinite(s_final).all()
+                             and (s_final >= 0.8 * L).all()),
+        "s_final": [round(float(s), 2) for s in s_final],
+        "bad_steps": bad,
+        "held_steps": holds,
+        "min_dist_exec": round(float(np.asarray(res.min_dist_exec).min()), 4)
+        if res.steps else None,
+        "p50_ms": round(float(np.percentile(warm, 50)) * 1e3, 1),
+        "p95_ms": round(float(np.percentile(warm, 95)) * 1e3, 1),
+        "max_ms": round(float(warm.max()) * 1e3, 1),
+        "wall_s": round(t_wall, 1),
+    }
+    print(json.dumps(out))
+    return out
+
+
+def full_course(args):
+    cfg = _mk_cfg(args.family, args.n, args.steps,
+                  assoc=None if args.variant == "auto"
+                  else (args.variant == "assoc"),
+                  hold=not args.no_hold, ladder=not args.no_ladder)
+    t0 = time.time()
+    res = _run(args.family, cfg)
+    return _report(f"full-course/{args.family}/N={args.n}", cfg, res,
+                   time.time() - t0)
+
+
+def perturbed(args):
+    """Jittered cold starts at the curve-2 entry (the round-3 stressed
+    boundary): base x0 rows with s shifted to 15 + U(0, 1.5) per agent."""
+    from colaborativempc_tpu.config import x0_database
+    cfg = _mk_cfg(args.family, args.n, args.steps,
+                  assoc=None if args.variant == "auto"
+                  else (args.variant == "assoc"),
+                  hold=not args.no_hold, ladder=not args.no_ladder)
+    rng = np.random.default_rng(args.seed)
+    n_complete = 0
+    rows = []
+    for k in range(args.starts):
+        x0s = np.asarray(x0_database(cfg.n_agents)).copy()
+        x0s[:, 6] = 15.0 + rng.uniform(0.0, 1.5, size=cfg.n_agents)
+        t0 = time.time()
+        res = _run(args.family, cfg, x0s=x0s)
+        out = _report(
+            f"perturbed[{k}]/{args.family}/{args.variant}", cfg, res,
+            time.time() - t0)
+        rows.append(out)
+        n_complete += int(out["complete_all"])
+    print(json.dumps({"study": f"perturbed/{args.family}/{args.variant}",
+                      "complete": n_complete, "starts": args.starts,
+                      "held_steps": [r["held_steps"] for r in rows]}))
+    return rows
+
+
+def latency(args):
+    cfg = _mk_cfg(args.family, args.n, args.steps,
+                  assoc=None if args.variant == "auto"
+                  else (args.variant == "assoc"))
+    cfg = dataclasses.replace(cfg, laps=10**6)  # fixed-step: pure latency
+    t0 = time.time()
+    res = _run(args.family, cfg)
+    return _report(f"latency/{args.family}/N={args.n}/{args.variant}", cfg,
+                   res, time.time() - t0)
+
+
+def main(argv=None):
+    setup_backend()
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--family", default="lpv",
+                       choices=["lpv", "nl-eu", "nl-hp", "nl-hp_opt"])
+        p.add_argument("--n", type=int, default=125, help="horizon N")
+        p.add_argument("--variant", default="auto",
+                       choices=["auto", "assoc", "seq"],
+                       help="Riccati path (auto = the resolved schedule)")
+        p.add_argument("--no-hold", action="store_true",
+                       help="disable hold_on_infeasible (raw semantics)")
+        p.add_argument("--no-ladder", action="store_true",
+                       help="disable the recovery escalation ladder")
+
+    p = sub.add_parser("full-course")
+    common(p)
+    p.add_argument("--steps", type=int, default=700)
+    p.set_defaults(fn=full_course)
+
+    p = sub.add_parser("perturbed")
+    common(p)
+    p.add_argument("--steps", type=int, default=550)
+    p.add_argument("--starts", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=perturbed)
+
+    p = sub.add_parser("latency")
+    common(p)
+    p.add_argument("--steps", type=int, default=100)
+    p.set_defaults(fn=latency)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

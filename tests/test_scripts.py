@@ -133,3 +133,25 @@ def test_monte_carlo_mesh_sharded(monkeypatch, capsys):
                          "--mesh", "2x2"], monkeypatch)
     outp = capsys.readouterr().out
     assert outp.count("feasible scenarios: 4/4") == 2
+
+
+def test_stress_study_cli(monkeypatch, capsys):
+    """The robustness-study CLI (full-course / perturbed / latency) runs
+    end to end on tiny workloads and reports the completion schema."""
+    import json
+    _run("stress_study", ["full-course", "--family", "lpv",
+                          "--n", "8", "--steps", "3"], monkeypatch)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["study"].startswith("full-course/lpv")
+    assert {"complete_all", "bad_steps", "held_steps",
+            "p50_ms"} <= set(out)
+
+    _run("stress_study", ["perturbed", "--family", "nl-eu", "--n", "8",
+                          "--steps", "2", "--starts", "2"], monkeypatch)
+    last = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert last["starts"] == 2 and "complete" in last
+
+    _run("stress_study", ["latency", "--family", "lpv", "--n", "8",
+                          "--steps", "3", "--variant", "seq"], monkeypatch)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["study"].startswith("latency/lpv")
