@@ -104,6 +104,157 @@ def nl_fleet_bench(name, n_agents, N, B, steps_warm=2):
     }), flush=True)
 
 
+def mxu_study(B_lanes=768, N=20, nz=11):
+    """Execute the MXU question instead of asserting it (BENCH.md r4).
+
+    The solver's FLOPs are batched nz x nz stage products inside the
+    Riccati recursion. Can the 128x128 MXU help at the B=256 knee
+    (256 scenarios x 3 agents = 768 lanes)? Three measured routes:
+
+    1. the shipped path: batched 11x11 products, Precision.HIGHEST
+       (f32 on the VPU; bf16 MXU routing is disallowed in the Riccati
+       path — CLAUDE.md invariant);
+    2. default precision: XLA may route the batched products through the
+       MXU as bf16 — measures the ceiling IF the precision were free;
+    3. block-diagonal lane grouping: pack g=11 lanes into 121x121
+       operands (MXU-tileable) — mathematically identical (block
+       structure is preserved by the recursion), pays g x redundant
+       FLOPs on the off-diagonal zeros. Packing cost excluded (most
+       favourable to the MXU route).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    g = nz  # lanes per block-diagonal group
+    nb = -(-B_lanes // g)  # groups (identity-padded to a multiple of g)
+    F = jnp.asarray(rng.normal(size=(N, B_lanes, nz, nz)) * 0.3
+                    + np.eye(nz), jnp.float32)
+    Q = jnp.asarray(np.broadcast_to(np.eye(nz), (N, B_lanes, nz, nz)),
+                    jnp.float32)
+    P0 = jnp.asarray(np.broadcast_to(np.eye(nz), (B_lanes, nz, nz)),
+                     jnp.float32)
+
+    def riccati_like(P0, F, Q, prec):
+        def body(P, inp):
+            Fk, Qk = inp
+            P = jnp.matmul(jnp.swapaxes(Fk, -1, -2),
+                           jnp.matmul(P, Fk, precision=prec),
+                           precision=prec) + Qk
+            return P, None
+        P, _ = jax.lax.scan(body, P0, (F, Q))
+        return P
+
+    def pack_bd(M):  # (..., B, nz, nz) -> (..., nb, g*nz, g*nz) block-diag
+        shp = M.shape[:-3]
+        pad = nb * g - M.shape[-3]
+        if pad:  # pad with identity lanes so B divides into g-lane groups
+            eye = jnp.broadcast_to(jnp.eye(nz, dtype=M.dtype),
+                                   shp + (pad, nz, nz))
+            M = jnp.concatenate([M, eye], axis=-3)
+        Mg = M.reshape(shp + (nb, g, nz, nz))
+        out = jnp.zeros(shp + (nb, g * nz, g * nz), M.dtype)
+        for i in range(g):
+            out = out.at[..., i * nz:(i + 1) * nz,
+                         i * nz:(i + 1) * nz].set(Mg[..., i, :, :])
+        return out
+
+    HI = jax.lax.Precision.HIGHEST
+    DEF = jax.lax.Precision.DEFAULT
+    Fb, Qb, P0b = pack_bd(F), pack_bd(Q), pack_bd(P0)
+
+    flops = 2 * 2 * N * B_lanes * nz ** 3  # 2 matmuls/stage
+    ref = None
+    for name, fn, args in (
+        ("batched-11x11 HIGHEST (shipped)",
+         jax.jit(lambda p, f, q: riccati_like(p, f, q, HI)), (P0, F, Q)),
+        ("batched-11x11 DEFAULT (bf16/MXU allowed)",
+         jax.jit(lambda p, f, q: riccati_like(p, f, q, DEF)), (P0, F, Q)),
+        ("blockdiag-121x121 HIGHEST",
+         jax.jit(lambda p, f, q: riccati_like(p, f, q, HI)),
+         (P0b, Fb, Qb)),
+        ("blockdiag-121x121 DEFAULT (MXU-tiled)",
+         jax.jit(lambda p, f, q: riccati_like(p, f, q, DEF)),
+         (P0b, Fb, Qb)),
+    ):
+        dt, out = timeit(fn, *args)
+        out = np.asarray(out)
+        if out.ndim == 4 and out.shape[-1] == g * nz:   # unpack diag blocks
+            out = np.stack([out[:, i * nz:(i + 1) * nz,
+                                i * nz:(i + 1) * nz]
+                            for i in range(g)], axis=1).reshape(
+                nb * g, nz, nz)[:B_lanes]
+        if ref is None:
+            ref = out
+        err = float(np.abs(out - ref).max() / np.abs(ref).max())
+        eff_flops = flops * ((g * nz) ** 3 / (g * nz ** 3)
+                             if "blockdiag" in name else 1)
+        print(json.dumps({
+            "mxu_variant": name, "lanes": B_lanes, "N": N,
+            "us_per_pass": round(dt * 1e6, 1),
+            "useful_gflops": round(flops / dt / 1e9, 1),
+            "executed_gflops": round(eff_flops / dt / 1e9, 1),
+            "rel_err_vs_shipped": float(f"{err:.2e}"),
+        }), flush=True)
+
+
+def mxu_end_to_end(B=256):
+    """End-to-end knee-step A/B: the shipped HIGHEST-precision solver vs
+    default precision (bf16 MXU routing allowed everywhere). Monkeypatches
+    the two precision-pinned matmul wrappers — experiment only."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from colaborativempc_tpu.ops import lqr as lqr_mod
+    from colaborativempc_tpu.ops import admm as admm_mod
+
+    orig_mm, orig_es = lqr_mod._mm, admm_mod._es
+    try:
+        for tag in ("HIGHEST (shipped)", "DEFAULT (bf16/MXU)"):
+            if "DEFAULT" in tag:
+                lqr_mod._mm = partial(jnp.matmul,
+                                      precision=jax.lax.Precision.DEFAULT)
+                admm_mod._es = partial(jnp.einsum,
+                                       precision=jax.lax.Precision.DEFAULT)
+            print(json.dumps({"mxu_end_to_end": tag}), flush=True)
+            fleet_bench(f"knee 3-agent H=20 B={B} [{tag}]", 3, 20, B)
+    finally:
+        lqr_mod._mm, admm_mod._es = orig_mm, orig_es
+
+
+def unroll_sweep(N=20, B=256):
+    """Quantify the XLA stage-scan loop overhead at the headline horizon —
+    the evidence bound for the Pallas forecast (an in-VMEM kernel removes
+    at most the overhead that full unrolling removes, minus what unrolling
+    already recovers)."""
+    for unroll in (1, 2, 4, 8, N):
+        import jax
+        import jax.numpy as jnp
+        from colaborativempc_tpu.config import (
+            ExperimentConfig, lpv_gains, SolverConfig,
+        )
+        from colaborativempc_tpu.geometry import make_track
+        from colaborativempc_tpu.runtime import init_lpv_fleet
+        from colaborativempc_tpu.runtime.simulate import make_lpv_fleet_step
+        from colaborativempc_tpu.parallel import batch_fleet_state
+
+        cfg = ExperimentConfig(
+            n_agents=3, N=N, dt=0.02, map_type="Highway", gains=lpv_gains(),
+            solver=SolverConfig(admm_iters=300, unroll=unroll))
+        track = make_track(cfg.map_type)
+        state = batch_fleet_state(init_lpv_fleet(track, cfg), B)
+        step = jax.jit(jax.vmap(make_lpv_fleet_step(track, cfg)))
+        for _ in range(3):
+            state, _ = step(state)
+        dt_step, (state, m) = timeit(lambda s: step(s), state)
+        print(json.dumps({
+            "unroll": unroll, "N": N, "batch": B,
+            "ms_per_step": round(dt_step * 1e3, 2),
+            "solves_per_sec": round(B * 3 / dt_step, 1),
+            "feasible": bool(np.asarray(m.feasible).all()),
+        }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -114,7 +265,22 @@ def main():
                     "headline and N=125 shapes (BENCH.md table)")
     ap.add_argument("--batches", default="64,128,256,512,1024",
                     help="batch sizes for --saturation")
+    ap.add_argument("--mxu", action="store_true",
+                    help="MXU experiment: batched 11x11 vs block-diagonal "
+                    "121x121 stage products, HIGHEST vs DEFAULT precision, "
+                    "plus an end-to-end knee-step A/B (BENCH.md r4)")
+    ap.add_argument("--unroll-sweep", action="store_true",
+                    help="stage-scan unroll sweep at H=20 (the loop-"
+                    "overhead bound behind the Pallas forecast)")
     args = ap.parse_args()
+
+    if args.mxu:
+        mxu_study()
+        mxu_end_to_end()
+        return
+    if args.unroll_sweep:
+        unroll_sweep()
+        return
 
     if args.tiny:
         fleet_bench("tiny LPV smoke", 2, 8, 4, admm_iters=100)

@@ -40,7 +40,13 @@ def _mk_cfg(family: str, N: int, steps: int, admm_iters=None,
     from colaborativempc_tpu.config import (
         ExperimentConfig, SolverConfig, OCDConfig, lpv_gains, nl_gains,
     )
-    solver = SolverConfig(admm_iters=admm_iters, assoc=assoc, eps=eps)
+    # sqp_iters=2 for the NL families: the reference's own runs converge
+    # their OCD loop at ~4 iterations; a 3-deep SQP with 0.7 mixing keeps
+    # the trajectory jittering just above the OCD atol and the loop runs to
+    # its cap (measured: 12 vs 31 iterations at N=20) — 2 is the
+    # cmpc-nl/monte-carlo default and the round-3 methodology.
+    solver = SolverConfig(admm_iters=admm_iters, assoc=assoc, eps=eps,
+                          sqp_iters=2 if family.startswith("nl") else 3)
     base = dict(N=N, n_agents=3, dt=0.025, map_type="Highway",
                 max_it=steps, laps=1, hold_on_infeasible=hold,
                 hold_reset_k=3 if ladder else None,
@@ -143,6 +149,59 @@ def latency(args):
                    res, time.time() - t0)
 
 
+def gs_tradeoff(args):
+    """Jacobi vs Gauss-Seidel at batch: the measurement behind the
+    parallel/ocd.py restriction (gauss_seidel raises on the agent-sharded
+    mesh). GS serialises agents within a coordination iteration (an
+    n_agents-deep scan of solves) but uses fresher neighbour data, so it
+    needs fewer OCD iterations; Jacobi solves all agents as ONE vmapped
+    batch. Whether GS's iteration savings pay for its serialisation is an
+    empirical question per shape — this prints both sides: mean OCD
+    iterations and wall time per control step over a vmapped scenario
+    batch (run on the TPU for the BENCH.md numbers).
+    """
+    import jax
+    import dataclasses as dc
+    from colaborativempc_tpu.config import OCDConfig
+    from colaborativempc_tpu.geometry import make_track
+    from colaborativempc_tpu.runtime.ocd import (
+        init_nl_fleet, make_nl_ocd_rollout_gains,
+    )
+    from colaborativempc_tpu.config import nl_gains
+    import jax.numpy as jnp
+
+    steps = args.steps
+    B = args.batch
+    for sweep in ("jacobi", "gauss_seidel"):
+        cfg = _mk_cfg(args.family if args.family.startswith("nl")
+                      else "nl-eu", args.n, steps)
+        cfg = dc.replace(cfg, ocd=OCDConfig(max_it_ocd=30, sweep=sweep))
+        track = make_track(cfg.map_type)
+        rollout = make_nl_ocd_rollout_gains(track, cfg, steps)
+        sweep_fn = jax.jit(jax.vmap(rollout, in_axes=(None, 0)))
+        state = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (B,) + x.shape).copy(),
+            init_nl_fleet(track, cfg))
+        gains = cfg.gains if cfg.gains is not None else nl_gains()
+        # compile + warm
+        out = jax.block_until_ready(sweep_fn(gains, state))
+        t0 = time.time()
+        reps = max(args.reps, 1)
+        for _ in range(reps):
+            final, (x0h, uh, m) = jax.block_until_ready(
+                sweep_fn(gains, state))
+        dt_step = (time.time() - t0) / (reps * steps)
+        iters = np.asarray(m.ocd_iterations, float)
+        print(json.dumps({
+            "study": f"gs-tradeoff/{sweep}",
+            "batch": B, "steps": steps, "N": args.n,
+            "ocd_iters_mean": round(float(iters.mean()), 2),
+            "ms_per_fleet_step_batch": round(dt_step * 1e3, 1),
+            "fleet_steps_per_s": round(B / dt_step, 1),
+            "feasible": bool(np.asarray(m.feasible).all()),
+        }))
+
+
 def main(argv=None):
     setup_backend()
     ap = argparse.ArgumentParser(description=__doc__)
@@ -176,6 +235,13 @@ def main(argv=None):
     common(p)
     p.add_argument("--steps", type=int, default=100)
     p.set_defaults(fn=latency)
+
+    p = sub.add_parser("gs-tradeoff")
+    common(p)
+    p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--reps", type=int, default=3)
+    p.set_defaults(fn=gs_tradeoff)
 
     args = ap.parse_args(argv)
     args.fn(args)
