@@ -78,6 +78,16 @@ def _report(name, cfg, res, t_wall):
     holds = bad if cfg.hold_on_infeasible else 0
     times = np.asarray(res.step_times)
     warm = times[3:] if len(times) > 6 else times
+    # per-step dispatch floor of this backend (tunnel RTT + launch): the
+    # latency of a trivial jitted call — subtract it mentally from the
+    # percentiles when comparing across days/tunnels
+    tiny = jax.jit(lambda x: x + 1.0)
+    z = tiny(np.float32(0.0)).block_until_ready()
+    t0 = time.time()
+    for _ in range(5):
+        z = tiny(z).block_until_ready()
+    floor_ms = (time.time() - t0) / 5 * 1e3
+    iters = getattr(res, "iterations", None)
     out = {
         "study": name,
         "backend": jax.default_backend(),
@@ -94,8 +104,13 @@ def _report(name, cfg, res, t_wall):
         "p50_ms": round(float(np.percentile(warm, 50)) * 1e3, 1),
         "p95_ms": round(float(np.percentile(warm, 95)) * 1e3, 1),
         "max_ms": round(float(warm.max()) * 1e3, 1),
+        "dispatch_floor_ms": round(floor_ms, 1),
         "wall_s": round(t_wall, 1),
     }
+    if iters is not None and np.asarray(iters).size:
+        it_arr = np.asarray(iters, float)
+        out["it_mean"] = round(float(it_arr.mean()), 1)
+        out["it_max"] = int(it_arr.max())
     print(json.dumps(out))
     return out
 
@@ -111,6 +126,75 @@ def full_course(args):
                    time.time() - t0)
 
 
+def _perturbed_x0s(cfg, rng):
+    from colaborativempc_tpu.config import x0_database
+    x0s = np.asarray(x0_database(cfg.n_agents)).copy()
+    x0s[:, 6] = 15.0 + rng.uniform(0.0, 1.5, size=cfg.n_agents)
+    return x0s
+
+
+def perturbed_batched(args, cfg):
+    """All jittered starts as ONE vmapped scanned rollout (a (starts,)
+    scenario batch of the full fixed-step closed loop) — the TPU-native
+    form of the study: no host dispatch between steps, every start
+    advances in parallel on the VPU lanes. Completion is evaluated
+    post-hoc from the s-history (a lane completes when at some step one
+    agent has crossed the lap length while all agents are finite and past
+    0.8 L — NaNs after a completed lap on the open Highway do not undo
+    it, matching the host loop's stop-at-finish semantics)."""
+    import jax
+    import jax.numpy as jnp
+    from colaborativempc_tpu.geometry import make_track
+    from colaborativempc_tpu.runtime import init_lpv_fleet
+    from colaborativempc_tpu.runtime.simulate import (
+        make_lpv_fleet_rollout, resolve_single_fleet_schedule,
+    )
+    from colaborativempc_tpu.runtime.ocd import (
+        init_nl_fleet, make_nl_ocd_rollout,
+    )
+    nl = args.family.startswith("nl")
+    cfg = resolve_single_fleet_schedule(cfg)
+    track = make_track(cfg.map_type)
+    rng = np.random.default_rng(args.seed)
+    if nl:
+        lanes = [init_nl_fleet(track, cfg, x0s=_perturbed_x0s(cfg, rng))
+                 for _ in range(args.starts)]
+        roll = make_nl_ocd_rollout(track, cfg, args.steps)
+    else:
+        lanes = [init_lpv_fleet(track, cfg, x0s=_perturbed_x0s(cfg, rng))
+                 for _ in range(args.starts)]
+        roll = make_lpv_fleet_rollout(track, cfg, args.steps)
+    state = jax.tree.map(lambda *xs: jnp.stack(xs), *lanes)
+    batched = jax.jit(jax.vmap(roll))
+    t0 = time.time()
+    final, (x0h, uh, m) = jax.block_until_ready(batched(state))
+    t_wall = time.time() - t0
+    L = float(np.asarray(track.track_length)[cfg.lane])
+    s = np.asarray(x0h[..., 6])                     # (S, steps, n_ag)
+    finite = np.isfinite(np.asarray(x0h)).all(axis=(2, 3))  # (S, steps)
+    done = (finite & (s.max(axis=2) >= L * cfg.laps)
+            & (s.min(axis=2) >= 0.8 * L))           # (S, steps)
+    complete = done.any(axis=1)
+    t_done = np.where(complete, done.argmax(axis=1), args.steps)
+    feas = np.asarray(m.feasible)                    # (S, steps, n_ag)
+    alive = np.arange(args.steps)[None, :] <= t_done[:, None]
+    held = ((~feas.all(axis=2)) & alive).sum(axis=1)
+    mde = np.asarray(m.min_dist_exec)                # (S, steps)
+    mde = np.where(alive, mde, np.inf).min(axis=1)
+    out = {
+        "study": f"perturbed-batched/{args.family}/{args.variant}",
+        "backend": jax.default_backend(),
+        "starts": args.starts, "steps": args.steps, "N": cfg.N,
+        "complete": int(complete.sum()),
+        "t_complete": t_done.tolist(),
+        "held_steps": held.tolist(),
+        "min_dist_exec": [round(float(d), 4) for d in mde],
+        "wall_s": round(t_wall, 1),
+    }
+    print(json.dumps(out))
+    return out
+
+
 def perturbed(args):
     """Jittered cold starts at the curve-2 entry (the round-3 stressed
     boundary): base x0 rows with s shifted to 15 + U(0, 1.5) per agent."""
@@ -119,6 +203,8 @@ def perturbed(args):
                   assoc=None if args.variant == "auto"
                   else (args.variant == "assoc"),
                   hold=not args.no_hold, ladder=not args.no_ladder)
+    if args.batched:
+        return perturbed_batched(args, cfg)
     rng = np.random.default_rng(args.seed)
     n_complete = 0
     rows = []
@@ -229,6 +315,9 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=550)
     p.add_argument("--starts", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batched", action="store_true",
+                   help="all starts as one vmapped scanned rollout "
+                        "(one device program; no per-run latency rows)")
     p.set_defaults(fn=perturbed)
 
     p = sub.add_parser("latency")
