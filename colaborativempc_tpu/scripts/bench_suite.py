@@ -179,7 +179,7 @@ def mxu_study(B_lanes=768, N=20, nz=11):
     ):
         dt, out = timeit(fn, *args)
         out = np.asarray(out)
-        if out.ndim == 4 and out.shape[-1] == g * nz:   # unpack diag blocks
+        if out.ndim == 3 and out.shape[-1] == g * nz:   # unpack diag blocks
             out = np.stack([out[:, i * nz:(i + 1) * nz,
                                 i * nz:(i + 1) * nz]
                             for i in range(g)], axis=1).reshape(

@@ -156,18 +156,31 @@ def perturbed_batched(args, cfg):
     cfg = resolve_single_fleet_schedule(cfg)
     track = make_track(cfg.map_type)
     rng = np.random.default_rng(args.seed)
+    # chunked scan: one multi-minute device program trips the remote
+    # backend's execution deadline (UNAVAILABLE), so the rollout runs as
+    # ceil(steps/chunk) scanned dispatches with the state carried between
+    # them — identical trajectory, bounded per-dispatch runtime
+    chunk = max(1, min(args.steps, args.chunk))
+    n_chunks = -(-args.steps // chunk)
     if nl:
         lanes = [init_nl_fleet(track, cfg, x0s=_perturbed_x0s(cfg, rng))
                  for _ in range(args.starts)]
-        roll = make_nl_ocd_rollout(track, cfg, args.steps)
+        roll = make_nl_ocd_rollout(track, cfg, chunk)
     else:
         lanes = [init_lpv_fleet(track, cfg, x0s=_perturbed_x0s(cfg, rng))
                  for _ in range(args.starts)]
-        roll = make_lpv_fleet_rollout(track, cfg, args.steps)
+        roll = make_lpv_fleet_rollout(track, cfg, chunk)
     state = jax.tree.map(lambda *xs: jnp.stack(xs), *lanes)
     batched = jax.jit(jax.vmap(roll))
     t0 = time.time()
-    final, (x0h, uh, m) = jax.block_until_ready(batched(state))
+    hists = []
+    for _ in range(n_chunks):
+        state, hist = jax.block_until_ready(batched(state))
+        hists.append(hist)
+    x0h, uh, m = jax.tree.map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=1),
+        *hists)
+    steps_run = n_chunks * chunk
     t_wall = time.time() - t0
     L = float(np.asarray(track.track_length)[cfg.lane])
     s = np.asarray(x0h[..., 6])                     # (S, steps, n_ag)
@@ -175,16 +188,17 @@ def perturbed_batched(args, cfg):
     done = (finite & (s.max(axis=2) >= L * cfg.laps)
             & (s.min(axis=2) >= 0.8 * L))           # (S, steps)
     complete = done.any(axis=1)
-    t_done = np.where(complete, done.argmax(axis=1), args.steps)
+    t_done = np.where(complete, done.argmax(axis=1), steps_run)
     feas = np.asarray(m.feasible)                    # (S, steps, n_ag)
-    alive = np.arange(args.steps)[None, :] <= t_done[:, None]
+    alive = np.arange(steps_run)[None, :] <= t_done[:, None]
     held = ((~feas.all(axis=2)) & alive).sum(axis=1)
     mde = np.asarray(m.min_dist_exec)                # (S, steps)
     mde = np.where(alive, mde, np.inf).min(axis=1)
     out = {
         "study": f"perturbed-batched/{args.family}/{args.variant}",
         "backend": jax.default_backend(),
-        "starts": args.starts, "steps": args.steps, "N": cfg.N,
+        "starts": args.starts, "steps": steps_run, "N": cfg.N,
+        "chunk": chunk,
         "complete": int(complete.sum()),
         "t_complete": t_done.tolist(),
         "held_steps": held.tolist(),
@@ -315,6 +329,8 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=550)
     p.add_argument("--starts", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--chunk", type=int, default=50,
+                   help="scan chunk length per device dispatch (batched)")
     p.add_argument("--batched", action="store_true",
                    help="all starts as one vmapped scanned rollout "
                         "(one device program; no per-run latency rows)")
