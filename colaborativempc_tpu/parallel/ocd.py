@@ -75,7 +75,13 @@ def _sharded_ocd_parts(track: Track, cfg: ExperimentConfig,
             "ocd.sweep='gauss_seidel' serialises agents within an iteration "
             "and is incompatible with the agent-sharded mesh step (agents "
             "are parallel shards); use the single-program runtime.ocd path "
-            "or sweep='jacobi'.")
+            "or sweep='jacobi'. Measured (cmpc-stress gs-tradeoff, TPU "
+            "v5e, batch 16, N=20): GS needs the SAME mean OCD iterations "
+            "as Jacobi at batch (6.0) while costing +15% wall per fleet "
+            "step from the agent serialisation, so scaling out keeps "
+            "Jacobi — GS's fresher-data advantage only materialises "
+            "single-fleet (44 ms/5 it vs 55 ms/4 it, BENCH.md), where the "
+            "single-program path already provides it.")
     limits_pa = _per_agent_limits(cfg)
 
     def one_agent(limits, x0, x_bar, u_bar, u_old, lam_i, neigh_xy, mmask,
