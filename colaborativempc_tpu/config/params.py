@@ -204,6 +204,19 @@ class ExperimentConfig:
     # None disables a rung. Only active when hold_on_infeasible is set.
     hold_reset_k: Optional[int] = 3
     hold_cold_k: Optional[int] = 6
+    # Stale-broadcast separation boost (LPV fleet paths): each agent
+    # multiplies its distance-based separation reward weight by
+    # (1 + hold_sep_boost) toward any neighbour whose hold_count is
+    # nonzero (a holding agent's broadcast plan is stale). Directionally
+    # verified at the solve level (test_hold_sep_boost_pushes_away...),
+    # exact no-op while no agent holds. Default OFF: the round-4
+    # perturbed-start study's sub-0.1 m near-passes proved to occur in
+    # the initial congestion scramble BEFORE any holding (identical
+    # minima with/without the boost; a zero-hold start also dips to
+    # 0.176 m), so the boost does not address the one observed
+    # separation failure mode and slightly increases hold counts in deep
+    # congestion (BENCH.md round-4 campaign).
+    hold_sep_boost: float = 0.0
     model: ModelParams = ModelParams()
     limits: SysLimits = SysLimits()
     gains: Optional[Gains] = None

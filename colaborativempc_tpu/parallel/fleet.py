@@ -43,11 +43,12 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
     limits_pa = _per_agent_limits(cfg)  # heterogeneous fleets supported
 
     def one_agent(lane, limits, x0, x_lin, u_lin, u_old, w, y, rho_scale,
-                  neighbours_xy):
+                  neighbours_xy, neigh_boost):
         return lpv_solve(
             track, gains, limits, cfg.model, cfg.N, cfg.dt,
             x0, x_lin, u_lin, u_old,
             neighbours_xy if multi else None,
+            neigh_boost=neigh_boost if multi else None,
             w0=w, y0=y, rho_scale0=rho_scale,
             admm_iters=cfg.solver.admm_budget(), rho=cfg.solver.rho,
             alpha_relax=cfg.solver.alpha_relax,
@@ -89,6 +90,12 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
         xy_local = state.x_pred[:, :, :, 7:9]          # (S_l, A_l, N+1, 2)
         all_xy = jax.lax.all_gather(
             xy_local, agent_axis, axis=1, tiled=True)  # (S_l, n_ag, N+1, 2)
+        # hold flags ride the same exchange (stale-broadcast hardening:
+        # push harder against plan-holding neighbours, cfg.hold_sep_boost)
+        boost_sc = cfg.hold_sep_boost if cfg.hold_on_infeasible else 0.0
+        hold_local = (state.hold_count > 0).astype(xy_local.dtype) * boost_sc
+        all_hold = jax.lax.all_gather(
+            hold_local, agent_axis, axis=1, tiled=True)   # (S_l, n_ag)
 
         def neighbours_of(global_id, all_xy_s):
             # all agents except global_id, via a dynamic roll
@@ -96,19 +103,20 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
             return rolled[: n_ag - 1]                  # (n_nb, N+1, 2)
 
         def solve_scenario(x0, x_lin, u_lin, u_old, w, y, rs, all_xy_s,
-                           lanes_s):
+                           all_hold_s, lanes_s):
             def solve_agent(local_a, x0a, xla, ula, uoa, wa, ya, rsa, ln):
                 gid = a_idx * A_l + local_a
                 lim_a = jax.tree.map(lambda v: v[gid], limits_pa)
                 nb = jnp.swapaxes(neighbours_of(gid, all_xy_s), 0, 1)
+                nb_boost = neighbours_of(gid, all_hold_s)  # (n_nb,)
                 return one_agent(ln, lim_a, x0a, xla, ula, uoa, wa, ya,
-                                 rsa, nb)
+                                 rsa, nb, nb_boost)
             return jax.vmap(solve_agent)(
                 jnp.arange(A_l), x0, x_lin, u_lin, u_old, w, y, rs, lanes_s)
 
         sol: LPVSolution = jax.vmap(solve_scenario)(
             state.x0, state.x_pred, state.u_pred, state.u_old,
-            state.w, state.y, state.rho_scale, all_xy, lanes)
+            state.w, state.y, state.rho_scale, all_xy, all_hold, lanes)
 
         if cfg.hold_on_infeasible:
             # solver-failure containment, identical semantics to the

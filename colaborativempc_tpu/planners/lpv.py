@@ -201,7 +201,8 @@ def lpv_solve(track: Track, gains: Gains, limits: SysLimits,
               use_pallas: bool = False,
               pallas_interpret: bool = False,
               epoch_len=None, unroll=None,
-              assoc: bool = False) -> LPVSolution:
+              assoc: bool = False,
+              neigh_boost=None) -> LPVSolution:
     """One LPV-MPC solve (the reference ``PlannerLPV.solve``, :115-182).
 
     Args:
@@ -210,6 +211,11 @@ def lpv_solve(track: Track, gains: Gains, limits: SysLimits,
         input. neighbours_xy: (N+1, n_nb, 2) neighbour plans or None.
       ego_xy: (N+1, 2) ego plan positions used for plane generation
         (defaults to x_lin's X, Y columns).
+      neigh_boost: optional (n_nb,) per-neighbour separation-reward
+        multiplier-minus-one (the fleet step passes hold_sep_boost for
+        neighbours currently plan-holding — their broadcast plans are
+        stale, so ego pushes away harder; cfg.hold_sep_boost). Only
+        repulsive (positive) weights are scaled.
     """
     dtype = x_lin.dtype
     if neighbours_xy is None:
@@ -222,6 +228,11 @@ def lpv_solve(track: Track, gains: Gains, limits: SysLimits,
                                      keep_sign=True)
         weights, _ = separation_weights(ego_xy[1:], neighbours_xy[1:],
                                         limits.min_dist)
+        if neigh_boost is not None:
+            weights = jnp.where(
+                weights > 0,
+                weights * (1.0 + neigh_boost)[None, :].astype(dtype),
+                weights)
 
     qp = build_lpv_qp(track, gains, limits, model, N, dt, x_lin, u_lin,
                       planes, weights, lane=lane)

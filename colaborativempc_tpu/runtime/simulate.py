@@ -145,7 +145,7 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
     limits_pa = _per_agent_limits(cfg)
 
     def one_agent(limits, lane, x0, x_lin, u_lin, u_old, w, y, rho_scale,
-                  neighbours_xy):
+                  neighbours_xy, neigh_boost):
         # warm start w/y unshifted: empirically better than the one-stage
         # shift (the constraint geometry moves with the track, not the
         # stage index)
@@ -153,6 +153,7 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
             track, gains, limits, cfg.model, cfg.N, cfg.dt,
             x0, x_lin, u_lin, u_old,
             neighbours_xy if multi else None,
+            neigh_boost=neigh_boost if multi else None,
             w0=w, y0=y, rho_scale0=rho_scale,
             admm_iters=cfg.solver.admm_budget(), rho=cfg.solver.rho,
             alpha_relax=cfg.solver.alpha_relax,
@@ -192,9 +193,18 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
             jnp.zeros((cfg.n_agents, cfg.N + 1, 0, 2), agents_xy.dtype))
         # neigh: (n_ag, N+1, n_nb, 2)
 
+        # stale-broadcast hardening: push harder against neighbours that
+        # are currently plan-holding (cfg.hold_sep_boost; exact no-op
+        # when nobody holds)
+        boost_sc = cfg.hold_sep_boost if cfg.hold_on_infeasible else 0.0
+        hold_f = (state.hold_count > 0).astype(agents_xy.dtype) * boost_sc
+        neigh_boost = hold_f[ns] if multi else (
+            jnp.zeros((cfg.n_agents, 1), agents_xy.dtype))
+
         sol: LPVSolution = jax.vmap(one_agent)(
             limits_pa, lanes, state.x0, state.x_pred, state.u_pred,
-            state.u_old, state.w, state.y, state.rho_scale, neigh)
+            state.u_old, state.w, state.y, state.rho_scale, neigh,
+            neigh_boost)
 
         if cfg.hold_on_infeasible:
             # Solver-failure containment, the per-step analogue of what

@@ -449,3 +449,70 @@ def test_escalate_holds_cold_reinit_unit():
     out_ok = escalate_holds(track, cfg, st_ok, lanes)
     for a, b in zip(out_ok, st_ok):
         assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_hold_sep_boost_noop_without_holds():
+    """hold_sep_boost only scales the separation reward toward neighbours
+    with a NONZERO hold counter, so on an all-feasible trajectory it is an
+    exact no-op (the canonical experiments and benchmarks are unchanged by
+    the round-4 hardening)."""
+    from colaborativempc_tpu.config import SolverConfig
+    from colaborativempc_tpu.runtime.simulate import (
+        make_lpv_fleet_step, init_lpv_fleet,
+    )
+    track = make_track("Highway")
+    base = dict(n_agents=3, N=12, dt=0.025, map_type="Highway",
+                gains=lpv_gains(), solver=SolverConfig(admm_iters=300))
+    step_on = make_lpv_fleet_step(
+        track, ExperimentConfig(**base, hold_sep_boost=3.0))
+    step_off = make_lpv_fleet_step(
+        track, ExperimentConfig(**base, hold_sep_boost=0.0))
+    sa = sb = init_lpv_fleet(track, ExperimentConfig(**base))
+    for _ in range(4):
+        sa, ma = step_on(sa)
+        sb, mb = step_off(sb)
+        assert bool(np.asarray(ma.feasible).all())
+        assert np.allclose(np.asarray(sa.x_pred), np.asarray(sb.x_pred))
+
+
+def test_hold_sep_boost_pushes_away_from_holding_neighbour():
+    """A neighbour with hold_count > 0 broadcasts a stale plan (its tail
+    collapses toward a stationary point — the round-4 near-pass failure
+    mode, BENCH.md); with hold_sep_boost the other agents' separation
+    reward toward THAT neighbour is scaled up, so their next plans keep
+    more distance from it than without the boost."""
+    import jax.numpy as jnp
+    from colaborativempc_tpu.config import SolverConfig
+    from colaborativempc_tpu.runtime.simulate import (
+        make_lpv_fleet_step, init_lpv_fleet,
+    )
+    track = make_track("Highway")
+    base = dict(n_agents=2, N=12, dt=0.025, map_type="Highway",
+                gains=lpv_gains(),
+                solver=SolverConfig(admm_iters=300),
+                # ladder off so the hold flag persists untouched
+                hold_reset_k=None, hold_cold_k=None)
+    st0 = init_lpv_fleet(track, ExperimentConfig(**base))
+    # place the agents close so the separation reward is active, and mark
+    # agent 1 as holding
+    x0 = np.array(st0.x0)
+    xp = np.array(st0.x_pred)
+    x0[1] = x0[0]
+    x0[1, 8] += 0.25                       # 0.25 m abreast of agent 0
+    xp[1] = xp[0]
+    xp[1, :, 8] += 0.25
+    st0 = st0._replace(
+        x0=jnp.asarray(x0), x_pred=jnp.asarray(xp),
+        hold_count=jnp.asarray([0, 1], jnp.int32))
+
+    def min_gap(cfg):
+        # stage 0 is the (fixed) current state, so measure the horizon
+        # TAIL where the reward can actually bend the plan
+        st, _ = make_lpv_fleet_step(track, cfg)(st0)
+        d = np.asarray(st.x_pred[0, 6:, 7:9]) - np.asarray(
+            st0.x_pred[1, 6:, 7:9])
+        return float(np.sqrt((d * d).sum(axis=1)).min())
+
+    gap_on = min_gap(ExperimentConfig(**base, hold_sep_boost=6.0))
+    gap_off = min_gap(ExperimentConfig(**base, hold_sep_boost=0.0))
+    assert gap_on > gap_off + 1e-4, (gap_on, gap_off)
