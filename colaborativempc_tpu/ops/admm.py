@@ -278,9 +278,11 @@ def admm_solve(qp: StageQP, z0: jnp.ndarray,
     ``unroll`` unrolls the sequential Riccati stage scans (ops/lqr.py):
     at long horizons the per-stage matvecs are smaller than the scan-step
     overhead, so unrolling packs several stages per loop step. Default:
-    auto (8 beyond N=96, 4 beyond N=48, FULL unroll at N<=24 — measured
-    +9% on the H=20 headline rollout (38.6 vs 42.1 ms/step, BENCH.md r4
-    unroll sweep) at comparable compile time; in between, 1).
+    auto (8 beyond N=96, 4 beyond N=48, else 1). The multi-agent LPV
+    fleet step OVERRIDES with a full unroll at N<=24 (runtime/simulate.py)
+    — measured +9% there (38.6 vs 42.1 ms/step headline rollout) but -14%
+    on the single-agent batch (BENCH.md r4 unroll sweep), so the engine
+    default stays conservative.
 
     ``epoch_len`` default is N-dependent (10/20/30 by horizon): each
     epoch pays one Riccati refactorisation whose cost grows with N, and a
@@ -295,7 +297,7 @@ def admm_solve(qp: StageQP, z0: jnp.ndarray,
     """
     N, m = qp.lo.shape
     if unroll is None:
-        unroll = 8 if N >= 96 else (4 if N >= 48 else (N if N <= 24 else 1))
+        unroll = 8 if N >= 96 else (4 if N >= 48 else 1)
     if epoch_len is None:
         epoch_len = 10 if N < 16 else (20 if N < 48 else 30)
     if assoc:

@@ -40,6 +40,14 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
     gains = cfg.gains if cfg.gains is not None else lpv_gains()
     n_ag = cfg.n_agents
     multi = n_ag > 1
+    # full stage-scan unroll for the multi-agent fleet step at short
+    # horizons: +9% measured on the H=20 headline rollout; single-agent
+    # batches measured -14%, so this stays a caller-scoped default
+    # (BENCH.md round-4 unroll sweep). An explicit SolverConfig.unroll
+    # pin always wins.
+    fleet_unroll = cfg.solver.unroll
+    if fleet_unroll is None and multi and cfg.N <= 24:
+        fleet_unroll = cfg.N
     limits_pa = _per_agent_limits(cfg)  # heterogeneous fleets supported
 
     def one_agent(lane, limits, x0, x_lin, u_lin, u_old, w, y, rho_scale,
@@ -55,7 +63,7 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
             eps=cfg.solver.eps, lane=lane,
             use_pallas=cfg.solver.use_pallas,
             pallas_interpret=cfg.solver.pallas_interpret,
-            epoch_len=cfg.solver.epoch_len, unroll=cfg.solver.unroll,
+            epoch_len=cfg.solver.epoch_len, unroll=fleet_unroll,
             assoc=cfg.solver.assoc)
 
     def local_step(state: FleetState):

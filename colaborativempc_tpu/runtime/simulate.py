@@ -142,6 +142,14 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
     gains = cfg.gains if cfg.gains is not None else lpv_gains()
     ns = jnp.asarray(_neighbour_index(cfg.n_agents))
     multi = cfg.n_agents > 1
+    # full stage-scan unroll for the multi-agent fleet step at short
+    # horizons: +9% measured on the H=20 headline rollout; single-agent
+    # batches measured -14%, so this stays a caller-scoped default
+    # (BENCH.md round-4 unroll sweep). An explicit SolverConfig.unroll
+    # pin always wins.
+    fleet_unroll = cfg.solver.unroll
+    if fleet_unroll is None and multi and cfg.N <= 24:
+        fleet_unroll = cfg.N
     limits_pa = _per_agent_limits(cfg)
 
     def one_agent(limits, lane, x0, x_lin, u_lin, u_old, w, y, rho_scale,
@@ -160,7 +168,7 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
             eps=cfg.solver.eps, lane=lane,
             use_pallas=cfg.solver.use_pallas,
             pallas_interpret=cfg.solver.pallas_interpret,
-            epoch_len=cfg.solver.epoch_len, unroll=cfg.solver.unroll,
+            epoch_len=cfg.solver.epoch_len, unroll=fleet_unroll,
             assoc=cfg.solver.assoc)
 
     def step(state: FleetState):
