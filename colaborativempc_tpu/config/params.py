@@ -217,6 +217,38 @@ class ExperimentConfig:
     # separation failure mode and slightly increases hold counts in deep
     # congestion (BENCH.md round-4 campaign).
     hold_sep_boost: float = 0.0
+    # Executed-separation safety filter (hard floor). The QP's soft plane
+    # rows are the only separation defence both here and in the reference
+    # (LPV_Planner.py:263-276 slacked planes; the reference's own golden
+    # recordings violate dth down to 0.161 m, PARITY.md) — and they
+    # saturate under pathological packing (round-4 stressed starts dipped
+    # to 0.042 m executed separation, BENCH.md). The filter projects the
+    # APPLIED x0-shift: each agent advances a fraction beta in [0, 1]
+    # along its plan's first stage (braking along the plan,
+    # runtime/simulate.py separation_filter) chosen so no pair's executed
+    # distance falls below ``exec_sep_frac * min_dist`` — unless the pair
+    # already stood below the floor, in which case it never gets closer
+    # than standing still (monotone non-worsening; a fleet that starts
+    # above the floor can never be driven below it). Exact no-op
+    # (bit-identical states) on any step where no pair would cross the
+    # floor. None disables. Applied on every closed-loop fleet path
+    # (LPV + NL-OCD, single-device + sharded).
+    exec_sep_frac: Optional[float] = 0.7
+    # Hold-recovery feasibility pass ("congestion-window convergence",
+    # ROADMAP): plan-holding + the escalation ladder reset solver STATE
+    # but never made the retry's QP easier, so a deeply jammed agent
+    # could hold for hundreds of steps while parked on track (348/550
+    # held steps, BENCH.md round-4 LPV perturbed study). With this knob,
+    # an agent's tracked speed ramps down with its consecutive-hold
+    # count: vx_ref scales by hold_vx_frac**(min(hold_count, k)/k) with
+    # k = hold_reset_k — full vx_ref while healthy, hold_vx_frac of it
+    # at the reset rung and beyond. A lower tracked speed relaxes the
+    # competition between progress and the separation/lane rows, letting
+    # the retry converge and the hold streak break (measured, BENCH.md
+    # round 5). Pre-escalation hold counts are used, so a freshly
+    # cold-re-initialised agent still retries at the reduced target.
+    # None disables (retry at full vx_ref, the round-4 behaviour).
+    hold_vx_frac: Optional[float] = 0.6
     model: ModelParams = ModelParams()
     limits: SysLimits = SysLimits()
     gains: Optional[Gains] = None

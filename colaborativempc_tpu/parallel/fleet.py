@@ -25,7 +25,8 @@ from colaborativempc_tpu.config.params import ExperimentConfig, lpv_gains
 from colaborativempc_tpu.geometry import Track
 from colaborativempc_tpu.planners.lpv import lpv_solve, LPVSolution
 from colaborativempc_tpu.runtime.simulate import (
-    FleetState, StepMetrics, _per_agent_limits, escalate_holds,
+    FleetState, StepMetrics, _apply_exec_beta, _per_agent_limits,
+    _sep_filter_beta, escalate_holds, hold_vx_scale,
 )
 
 
@@ -43,8 +44,11 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
     # full stage-scan unroll for the multi-agent fleet step at short
     # horizons: +9% measured on the H=20 headline rollout; single-agent
     # batches measured -14%, so this stays a caller-scoped default
-    # (BENCH.md round-4 unroll sweep). An explicit SolverConfig.unroll
-    # pin always wins.
+    # (BENCH.md round-4 unroll sweep). NOTE: on this MESH path the
+    # benefit is extrapolated from the single-device measurement, not
+    # re-measured under shard_map (where full unroll also lengthens the
+    # already-long first compile); pin SolverConfig.unroll to override
+    # either way.
     fleet_unroll = cfg.solver.unroll
     if fleet_unroll is None and multi and cfg.N <= 24:
         fleet_unroll = cfg.N
@@ -91,6 +95,10 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
             # and break the scan carry type inside shard_map)
             lanes = state.lane * 0 + cfg.lane
 
+        # hold-recovery feasibility pass: pre-escalation counts (see
+        # runtime/simulate.py hold_vx_scale), shard-local
+        vxs = hold_vx_scale(cfg, state.hold_count, state.x0.dtype)
+
         # recovery escalation ladder (shard-local, runtime/simulate.py)
         state = escalate_holds(track, cfg, state, lanes)
 
@@ -111,20 +119,24 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
             return rolled[: n_ag - 1]                  # (n_nb, N+1, 2)
 
         def solve_scenario(x0, x_lin, u_lin, u_old, w, y, rs, all_xy_s,
-                           all_hold_s, lanes_s):
-            def solve_agent(local_a, x0a, xla, ula, uoa, wa, ya, rsa, ln):
+                           all_hold_s, lanes_s, vxs_s):
+            def solve_agent(local_a, x0a, xla, ula, uoa, wa, ya, rsa, ln,
+                            vxsa):
                 gid = a_idx * A_l + local_a
                 lim_a = jax.tree.map(lambda v: v[gid], limits_pa)
+                lim_a = lim_a._replace(vx_ref=lim_a.vx_ref * vxsa)
                 nb = jnp.swapaxes(neighbours_of(gid, all_xy_s), 0, 1)
                 nb_boost = neighbours_of(gid, all_hold_s)  # (n_nb,)
                 return one_agent(ln, lim_a, x0a, xla, ula, uoa, wa, ya,
                                  rsa, nb, nb_boost)
             return jax.vmap(solve_agent)(
-                jnp.arange(A_l), x0, x_lin, u_lin, u_old, w, y, rs, lanes_s)
+                jnp.arange(A_l), x0, x_lin, u_lin, u_old, w, y, rs, lanes_s,
+                vxs_s)
 
         sol: LPVSolution = jax.vmap(solve_scenario)(
             state.x0, state.x_pred, state.u_pred, state.u_old,
-            state.w, state.y, state.rho_scale, all_xy, all_hold, lanes)
+            state.w, state.y, state.rho_scale, all_xy, all_hold, lanes,
+            vxs)
 
         if cfg.hold_on_infeasible:
             # solver-failure containment, identical semantics to the
@@ -149,8 +161,36 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
             w, y, rho_scale = sol.w, sol.y, sol.rho_scale
             hold_count = state.hold_count
 
+        # executed-separation safety filter: betas need full-fleet pairwise
+        # geometry, so the standstill anchors and executed candidates ride
+        # one extra (tiny) all_gather; the projection itself is applied
+        # shard-locally to this shard's agents. Identical semantics to the
+        # single-device step (runtime/simulate.py separation_filter).
+        cand_local = x_pred[:, :, 1, :]
+        if cfg.exec_sep_frac is not None:
+            anchors = jax.lax.all_gather(
+                state.x0, agent_axis, axis=1, tiled=True)   # (S_l, n_ag, 9)
+            cands = jax.lax.all_gather(
+                cand_local, agent_axis, axis=1, tiled=True)
+            dth = jnp.max(jnp.asarray(cfg.limits.min_dist))
+            floor = jnp.asarray(cfg.exec_sep_frac, cands.dtype) * dth
+            beta_full = jax.vmap(
+                lambda p0, p1, pr: _sep_filter_beta(p0, p1, floor,
+                                                    prio=pr))(
+                anchors[..., 7:9], cands[..., 7:9],
+                anchors[..., 6])                            # (S_l, n_ag)
+            beta_full = jax.lax.pmean(beta_full, agent_axis)
+            gids = a_idx * A_l + jnp.arange(A_l)
+            beta_local = beta_full[:, gids]
+            x0_exec = _apply_exec_beta(state.x0, cand_local, beta_local)
+            exec_full = _apply_exec_beta(anchors, cands, beta_full)
+        else:
+            beta_local = jnp.ones(cand_local.shape[:2], cand_local.dtype)
+            x0_exec = cand_local
+            exec_full = None
+
         new_state = FleetState(
-            x0=x_pred[:, :, 1, :],
+            x0=x0_exec,
             x_pred=x_pred, u_pred=u_pred,
             u_old=u_pred[:, :, 0, :],
             w=w, y=y, rho_scale=rho_scale,
@@ -168,8 +208,11 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
         # replication explicit so the P("scen") out_spec typechecks
         min_dist = jax.lax.pmin(min_dist, agent_axis)
 
-        exec_xy = jax.lax.all_gather(
-            x_pred[:, :, 1, 7:9], agent_axis, axis=1, tiled=True)
+        if exec_full is not None:
+            exec_xy = exec_full[..., 7:9]              # filtered positions
+        else:
+            exec_xy = jax.lax.all_gather(
+                cand_local[..., 7:9], agent_axis, axis=1, tiled=True)
         dd = exec_xy[:, :, None, :] - exec_xy[:, None, :, :]
         dexec = jnp.sqrt(jnp.sum(dd * dd, axis=-1) + 1e-12)
         dexec = dexec + jnp.eye(n_ag)[None] * 1e9
@@ -178,7 +221,8 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
             feasible=sol.feasible, iterations=sol.iterations,
             r_prim=sol.r_prim, min_dist=min_dist,
             min_dist_exec=min_dist_exec,
-            slack_max=jnp.max(jnp.abs(sol.s_pred), axis=(2, 3)))
+            slack_max=jnp.max(jnp.abs(sol.s_pred), axis=(2, 3)),
+            exec_beta=beta_local)
         return new_state, metrics
 
     state_spec = FleetState(
@@ -194,7 +238,8 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
         r_prim=P(scen_axis, agent_axis),
         min_dist=P(scen_axis),
         min_dist_exec=P(scen_axis),
-        slack_max=P(scen_axis, agent_axis))
+        slack_max=P(scen_axis, agent_axis),
+        exec_beta=P(scen_axis, agent_axis))
     return local_step, state_spec, metrics_spec
 
 

@@ -117,6 +117,8 @@ class OCDStepMetrics(NamedTuple):
     min_dist: jnp.ndarray        # min predicted pairwise distance
     min_dist_exec: jnp.ndarray   # min executed pairwise distance
     lambda_max: jnp.ndarray      # max |lambda|
+    exec_beta: jnp.ndarray       # (n_ag,) separation-filter advance
+    #                              fraction (1.0 = inactive)
 
 
 def _contain_nonfinite(st: _OCDLoopState, sol):
@@ -386,12 +388,19 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
             w_fin, y_fin, rs_fin = out.w, out.y, out.rho_scale
             hold_count = state.hold_count
 
+        # executed-separation safety filter (runtime/simulate.py): the
+        # applied x0-shift is projected so no pair crosses the hard floor;
+        # the shifted plan stays the linearisation
+        from colaborativempc_tpu.runtime.simulate import separation_filter
+        x0_exec, exec_beta = separation_filter(cfg, state.x0,
+                                               x_fin[:, 1, :])
+
         # control-step shift (NL_EU_N_main.py:170-172): x0 <- x_pred[1],
         # linearisation trajectory <- shifted prediction
         x_shift = jnp.concatenate([x_fin[:, 1:], x_fin[:, -1:]], axis=1)
         u_shift = jnp.concatenate([u_fin[:, 1:], u_fin[:, -1:]], axis=1)
         new_state = OCDFleetState(
-            x0=x_fin[:, 1, :],
+            x0=x0_exec,
             x_pred=x_shift, u_pred=u_shift,
             u_old=u_fin[:, 0, :],
             lambdas=out.lambdas, w=w_fin, y=y_fin,
@@ -402,7 +411,7 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
         diff = p[:, None] - p[None, :]
         dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
         dist = dist + jnp.eye(n_ag)[:, :, None] * 1e9
-        pe = x_fin[:, 1, 7:9]
+        pe = x0_exec[:, 7:9]
         de = jnp.sqrt(jnp.sum((pe[:, None] - pe[None, :]) ** 2, axis=-1)
                       + 1e-12) + jnp.eye(n_ag) * 1e9
         metrics = OCDStepMetrics(
@@ -410,7 +419,8 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
             feasible=out.feasible,
             min_dist=jnp.min(dist),
             min_dist_exec=jnp.min(de),
-            lambda_max=jnp.max(jnp.abs(out.lambdas)))
+            lambda_max=jnp.max(jnp.abs(out.lambdas)),
+            exec_beta=exec_beta)
         return new_state, metrics
 
     return prepare, ocd_iteration, loop_init, cond, finalize
@@ -573,20 +583,38 @@ class NLExperimentResult(NamedTuple):
     lambdas: np.ndarray     # final duals (cross-run warm start)
     steps: int
     finished: bool
+    exec_beta: np.ndarray = np.ones((0, 0))  # (T, n_ag) separation-filter
+    #                          advance fractions (1.0 = filter inactive)
 
 
 def run_nl_experiment(cfg: ExperimentConfig,
                       x0s: Optional[np.ndarray] = None,
                       lambdas0: Optional[np.ndarray] = None,
                       track: Optional[Track] = None,
-                      io=None) -> NLExperimentResult:
+                      io=None,
+                      checkpoint_path: Optional[str] = None,
+                      checkpoint_every: int = 50) -> NLExperimentResult:
     """Closed-loop distributed NL-OCD experiment (reference
-    ``NL_EU_N_main.main``)."""
+    ``NL_EU_N_main.main``).
+
+    ``checkpoint_path`` enables exact mid-run resume, identical to the
+    LPV path (runtime/checkpoint.py): the FULL ``OCDFleetState`` —
+    including the coupling duals ``lambdas``, which the reference only
+    persists ACROSS runs via ``ini_lambdas.pkl``
+    (``NL_EU_N_main.py:174-175``) — round-trips through one .npz, so a
+    916-step golden replay can be stopped and resumed mid-course with
+    bit-equal coordination state.
+    """
+    import os
+    from colaborativempc_tpu.runtime.checkpoint import (
+        save_checkpoint, load_checkpoint,
+    )
     from colaborativempc_tpu.utils.precision import dtype_island
     if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
         # float64 experiments run as a scoped x64 island (utils/precision.py)
         with dtype_island(cfg.dtype):
-            return run_nl_experiment(cfg, x0s, lambdas0, track, io)
+            return run_nl_experiment(cfg, x0s, lambdas0, track, io,
+                                     checkpoint_path, checkpoint_every)
     # Full single-fleet latency schedule, shared with run_lpv_experiment
     # (runtime/simulate.py resolve_single_fleet_schedule): epoch_len=15
     # (frequent rho adaptation), blocked-assoc Riccati, admm_iters>=1000 —
@@ -600,15 +628,17 @@ def run_nl_experiment(cfg: ExperimentConfig,
                            dtype=jnp.float64 if cfg.dtype == "float64"
                            else jnp.float32)
     state = init_nl_fleet(track, cfg, x0s, lambdas0)
+    it = 0
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        state, it = load_checkpoint(checkpoint_path, state)
     if cfg.verb_ocd:
         step_inst = make_nl_ocd_instrumented(track, cfg)
     else:
         step = make_nl_ocd_step(track, cfg)
 
     hist = {k: [] for k in ("states", "inputs", "feas", "dist", "dist_e",
-                            "ocd_it", "times")}
+                            "ocd_it", "times", "beta")}
     finished = False
-    it = 0
     while it < cfg.max_it:
         t0 = time.time()
         if cfg.verb_ocd:
@@ -629,6 +659,7 @@ def run_nl_experiment(cfg: ExperimentConfig,
         hist["dist"].append(float(metrics.min_dist))
         hist["dist_e"].append(float(metrics.min_dist_exec))
         hist["ocd_it"].append(int(metrics.ocd_iterations))
+        hist["beta"].append(np.asarray(metrics.exec_beta))
         if io is not None:
             io.update(it, state, metrics, hist["times"][-1])
         # reference NL semantics: continue on degraded/partial solves,
@@ -642,7 +673,11 @@ def run_nl_experiment(cfg: ExperimentConfig,
             finished = True
             break
         it += 1
+        if checkpoint_path is not None and it % checkpoint_every == 0:
+            save_checkpoint(checkpoint_path, state, it)
 
+    if checkpoint_path is not None:
+        save_checkpoint(checkpoint_path, state, it)
     return NLExperimentResult(
         states=np.asarray(hist["states"]), inputs=np.asarray(hist["inputs"]),
         feasible=np.asarray(hist["feas"]), min_dist=np.asarray(hist["dist"]),
@@ -650,4 +685,5 @@ def run_nl_experiment(cfg: ExperimentConfig,
         ocd_iterations=np.asarray(hist["ocd_it"]),
         step_times=np.asarray(hist["times"]),
         lambdas=np.asarray(state.lambdas),
-        steps=len(hist["states"]), finished=finished)
+        steps=len(hist["states"]), finished=finished,
+        exec_beta=np.asarray(hist["beta"]))

@@ -48,6 +48,8 @@ class StepMetrics(NamedTuple):
     min_dist: jnp.ndarray     # scalar: min pairwise distance over horizon
     min_dist_exec: jnp.ndarray  # scalar: min pairwise distance of x0 states
     slack_max: jnp.ndarray    # (n_ag,) max slack magnitude
+    exec_beta: jnp.ndarray    # (n_ag,) separation-filter advance fraction
+    #                           (1.0 = filter inactive, plan executed as-is)
 
 
 def _neighbour_index(n_agents: int) -> np.ndarray:
@@ -78,6 +80,176 @@ def _per_agent_limits(cfg: ExperimentConfig):
         lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.float32),
                                    (cfg.n_agents,)),
         cfg.limits)
+
+
+def _sep_filter_beta(p0: jnp.ndarray, p1: jnp.ndarray, floor,
+                     prio: jnp.ndarray | None = None,
+                     n_pass: int = 4) -> jnp.ndarray:
+    """Per-agent advance fractions bounding the executed pairwise distance.
+
+    Each agent's executed position is p(beta) = p0 + beta * (p1 - p0):
+    beta = 1 executes the plan's first stage as-is, beta = 0 re-executes
+    the current position (standstill). This computes large per-agent
+    betas such that **no pair's executed distance falls below
+    g = min(floor, its standstill distance)** — the monotone
+    non-worsening guarantee: a pair at/above the floor is braked exactly
+    to it, a pair already below it never gets closer than standing
+    still, so a fleet that starts above the floor can never be driven
+    below it.
+
+    Braking is PRIORITY-ASYMMETRIC (round-5: the first filter cut both
+    agents of a closing pair by a common factor, and a symmetric full
+    stop is a fixed point — two laterally-converging agents re-plan the
+    same closing step forever and the fleet parks; measured on 2 of 8
+    stressed starts, BENCH.md round 5). Per pair the agent with the
+    LOWER priority (arc progress s, ties by index) is the follower:
+
+    - if the candidate pair distance ends >= g: nobody brakes;
+    - else if a STOPPED follower satisfies g against the leader's moved
+      position: only the follower brakes — the largest t with
+      |a' + t b'| >= g along its own segment (a' = follower standstill
+      rel. to the moved leader, b' = the follower's motion; d^2 convex
+      in t with d^2(0) >= g^2, so everything left of the smaller root
+      of |b'|^2 t^2 + 2(a'.b') t + (|a'|^2 - g^2) keeps d >= g). The
+      leader drives on and opens the gap — the deadlock-breaker;
+    - else (the leader's own motion violates g even against a stopped
+      follower): both scale by the symmetric common factor t along
+      a + t*b (a = standstill offsets, b = relative motion; same
+      convex-root form with c = d0^2 - g^2 >= 0 by construction — a
+      closing pair at its standstill distance gets t = 0 exactly).
+
+    Each agent takes the most conservative t over its pairs; passes
+    iterate because per-agent betas couple the pairs (a follower braked
+    for one pair weakens the leader assumption of another). A final
+    all-stop fallback (every beta = 0 — exactly the standstill
+    distances) backstops the guarantee against residual coupling.
+
+    Exactness: when no pair would cross the floor, every t is exactly
+    1.0 and the returned betas are exactly 1.0 (callers use that to keep
+    the unfiltered states bit-identical).
+    """
+    n = p0.shape[0]
+    delta = p1 - p0
+    eyeb = jnp.eye(n, dtype=bool)
+    a0 = p0[:, None] - p0[None, :]                        # (i, j, 2)
+    d0sq = jnp.sum(a0 * a0, axis=-1)
+    floor = jnp.asarray(floor, p0.dtype)
+    f2 = floor * floor
+    g2 = jnp.minimum(f2, d0sq)                            # pair guarantee^2
+    if prio is None:
+        prio = jnp.zeros_like(p0[..., 0])
+    # strict priority: larger s wins, exact index tie-break (lexicographic
+    # — a float epsilon would drown in s's magnitude at long courses)
+    idx = jnp.arange(n)
+    follows = ((prio[:, None] < prio[None, :])
+               | ((prio[:, None] == prio[None, :])
+                  & (idx[:, None] > idx[None, :])))       # i follows j
+
+    def brake_root(ab, bb, c):
+        # largest t in [0, 1] with the convex d^2(t) >= g^2 given
+        # d^2(0) - g^2 = c >= 0: the smaller root of
+        # bb t^2 + 2 ab t + c (the negative set is an interval)
+        disc = ab * ab - bb * c
+        root = ((-ab - jnp.sqrt(jnp.maximum(disc, 0.0)))
+                / jnp.maximum(bb, 1e-12))
+        return jnp.clip(root, 0.0, 1.0)
+
+    def one_pass(beta, _):
+        q = p0 + beta[:, None] * delta                    # moved positions
+        # symmetric rule: both members scale by t
+        b = (beta[:, None, None] * delta[:, None]
+             - beta[None, :, None] * delta[None, :])      # (i, j, 2)
+        bb = jnp.sum(b * b, axis=-1)
+        ab = jnp.sum(a0 * b, axis=-1)
+        d1sq = d0sq + 2.0 * ab + bb                       # pair dist^2 at t=1
+        t_sym = brake_root(ab, bb, d0sq - g2)
+        # follower-only rule: i moves along its segment, j fixed at q_j
+        a_f = p0[:, None] - q[None, :]                    # (i, j, 2)
+        af2 = jnp.sum(a_f * a_f, axis=-1)
+        b_f = jnp.broadcast_to((beta[:, None] * delta)[:, None],
+                               a_f.shape)                 # i's motion
+        ab_f = jnp.sum(a_f * b_f, axis=-1)
+        bb_f = jnp.sum(b_f * b_f, axis=-1)
+        c_f = af2 - g2
+        fol_ok = c_f >= 0.0          # a stopped i suffices against moved j
+        t_fol = brake_root(ab_f, bb_f, jnp.maximum(c_f, 0.0))
+
+        t_ij = jnp.where(
+            d1sq >= g2, jnp.ones_like(d1sq),
+            jnp.where(follows,
+                      jnp.where(fol_ok, t_fol, t_sym),
+                      # i leads j: free when j's follower rule held,
+                      # else the symmetric brake binds both
+                      jnp.where(jnp.swapaxes(fol_ok, -1, -2),
+                                jnp.ones_like(d1sq), t_sym)))
+        t_ij = jnp.where(eyeb, 1.0, t_ij)
+        return beta * jnp.min(t_ij, axis=1), None
+
+    # carry tied to the data (ones_like, not ones) so the varying mesh
+    # axes match inside shard_map contexts
+    beta, _ = jax.lax.scan(one_pass, jnp.ones_like(p0[..., 0]), None,
+                           length=n_pass)
+    # all-stop fallback: per-agent betas are pair-coupled, so verify the
+    # result and fall back to exact standstill if any pair is still both
+    # below the floor and closer than it stood
+    p = p0 + beta[:, None] * delta
+    dd = p[:, None] - p[None, :]
+    dsq = jnp.sum(dd * dd, axis=-1)
+    bad = jnp.any((dsq < f2) & (dsq < d0sq - 1e-9) & ~eyeb)
+    return jnp.where(bad, jnp.zeros_like(beta), beta)
+
+
+def _apply_exec_beta(x_cur: jnp.ndarray, x_cand: jnp.ndarray,
+                     beta: jnp.ndarray) -> jnp.ndarray:
+    """Braking along the plan: interpolate the FULL state row between the
+    current state (beta=0) and the plan's first stage (beta=1). All nine
+    fields interpolate — positions brake exactly as computed by
+    :func:`_sep_filter_beta`; the Frenet/velocity fields follow to first
+    order (consistent within one control period). Bit-identical to the
+    candidate wherever beta == 1."""
+    lerp = x_cur + beta[..., None] * (x_cand - x_cur)
+    return jnp.where((beta >= 1.0)[..., None], x_cand, lerp)
+
+
+def separation_filter(cfg: ExperimentConfig, x_cur: jnp.ndarray,
+                      x_cand: jnp.ndarray):
+    """Executed-separation safety filter (``cfg.exec_sep_frac``).
+
+    ``x_cur`` (n_ag, 9): current states (the standstill anchor);
+    ``x_cand`` (n_ag, 9): candidate executed states (the plan's stage 1,
+    post plan-holding). Returns ``(x_exec, beta)`` with the floor
+    guarantee of :func:`_sep_filter_beta` on the executed (X, Y) rows.
+    Neither the reference nor rounds 1-4 bounded executed separation at
+    all (the soft plane rows saturate in deep congestion; the
+    reference's own recordings violate dth, PARITY.md) — this closes
+    that hole. Identity (bit-exact) when no pair would cross the floor.
+    """
+    if cfg.exec_sep_frac is None:
+        return x_cand, jnp.ones(x_cand.shape[:-1], x_cand.dtype)
+    dth = jnp.max(jnp.asarray(cfg.limits.min_dist))
+    floor = jnp.asarray(cfg.exec_sep_frac, x_cand.dtype) * dth
+    beta = _sep_filter_beta(x_cur[:, 7:9], x_cand[:, 7:9], floor,
+                            prio=x_cur[:, 6])
+    return _apply_exec_beta(x_cur, x_cand, beta), beta
+
+
+def hold_vx_scale(cfg: ExperimentConfig, hold_count, dtype=jnp.float32):
+    """Hold-recovery feasibility pass (``cfg.hold_vx_frac``): per-agent
+    vx_ref multipliers that ramp each agent's tracked speed down with its
+    consecutive-hold count, so a jammed retry competes less with the
+    separation/lane rows — full vx_ref at hold_count=0,
+    ``hold_vx_frac`` of it at the ``hold_reset_k`` rung and beyond.
+    ``hold_count`` must be the PRE-escalation count: a freshly
+    cold-re-initialised agent (whose counter escalate_holds just zeroed)
+    still retries its brand-new warm start at the reduced target. Shape
+    follows ``hold_count`` (works batched/sharded). Exactly 1.0 when
+    disabled or while an agent is not holding."""
+    if not cfg.hold_on_infeasible or cfg.hold_vx_frac is None:
+        return jnp.ones(hold_count.shape, dtype)
+    k = float(max(cfg.hold_reset_k if cfg.hold_reset_k is not None else 3,
+                  1))
+    hc = jnp.minimum(hold_count.astype(dtype), k)
+    return jnp.asarray(cfg.hold_vx_frac, dtype) ** (hc / k)
 
 
 def escalate_holds(track: Track, cfg: ExperimentConfig, state, lanes):
@@ -192,6 +364,12 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
         else:
             lanes = jnp.full((cfg.n_agents,), cfg.lane, jnp.int32)
 
+        # hold-recovery feasibility pass: pre-escalation counts (see
+        # hold_vx_scale) scale each agent's tracked speed for THIS solve
+        vxs = hold_vx_scale(cfg, state.hold_count, state.x0.dtype)
+        limits_step = limits_pa._replace(
+            vx_ref=jnp.asarray(limits_pa.vx_ref) * vxs)
+
         state = escalate_holds(track, cfg, state, lanes)
 
         # the "communication": everyone reads everyone's (X, Y) plan
@@ -203,14 +381,20 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
 
         # stale-broadcast hardening: push harder against neighbours that
         # are currently plan-holding (cfg.hold_sep_boost; exact no-op
-        # when nobody holds)
+        # when nobody holds). Boundary: the flags are read POST-escalation,
+        # so an agent cold-re-initialised this very step (hold_count just
+        # zeroed) draws no boost from its neighbours even though its
+        # brand-new warm-start trajectory is the least-validated plan in
+        # the exchange — acceptable while the knob defaults off (measured
+        # ineffective against the observed near-passes, BENCH.md round 4);
+        # derive from pre-escalation counts if it is ever defaulted on.
         boost_sc = cfg.hold_sep_boost if cfg.hold_on_infeasible else 0.0
         hold_f = (state.hold_count > 0).astype(agents_xy.dtype) * boost_sc
         neigh_boost = hold_f[ns] if multi else (
             jnp.zeros((cfg.n_agents, 1), agents_xy.dtype))
 
         sol: LPVSolution = jax.vmap(one_agent)(
-            limits_pa, lanes, state.x0, state.x_pred, state.u_pred,
+            limits_step, lanes, state.x0, state.x_pred, state.u_pred,
             state.u_old, state.w, state.y, state.rho_scale, neigh,
             neigh_boost)
 
@@ -245,13 +429,18 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
             w, y, rho_scale = sol.w, sol.y, sol.rho_scale
             hold_count = state.hold_count
 
+        # executed-separation safety filter (prediction = plant: the
+        # applied x0-shift itself is projected; the plan stays the
+        # linearisation exactly as under plan-holding)
+        x0_exec, exec_beta = separation_filter(cfg, state.x0,
+                                               x_pred[:, 1, :])
         new_state = FleetState(
-            x0=x_pred[:, 1, :],            # x0 shift (prediction = plant)
+            x0=x0_exec,                    # x0 shift (prediction = plant)
             x_pred=x_pred, u_pred=u_pred,
             u_old=u_pred[:, 0, :],
             w=w, y=y, rho_scale=rho_scale,
             lane=lanes, hold_count=hold_count)
-        exec_xy = x_pred[:, 1, 7:9]                   # applied next states
+        exec_xy = x0_exec[:, 7:9]                     # applied next states
         dd = exec_xy[:, None, :] - exec_xy[None, :, :]
         dexec = jnp.sqrt(jnp.sum(dd * dd, axis=-1) + 1e-12)
         dexec = dexec + jnp.eye(dexec.shape[0]) * 1e9
@@ -261,7 +450,8 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
             min_dist=_pairwise_min_dist(
                 jnp.swapaxes(x_pred[:, :, 7:9], 0, 1)),
             min_dist_exec=jnp.min(dexec),
-            slack_max=jnp.max(jnp.abs(sol.s_pred), axis=(1, 2)))
+            slack_max=jnp.max(jnp.abs(sol.s_pred), axis=(1, 2)),
+            exec_beta=exec_beta)
         return new_state, metrics
 
     return jax.jit(step)
@@ -325,6 +515,8 @@ class ExperimentResult(NamedTuple):
     iterations: np.ndarray  # (T, n_ag) ADMM iterations
     steps: int
     finished: bool          # lap completed (vs max_it exhausted)
+    exec_beta: np.ndarray = np.ones((0, 0))  # (T, n_ag) separation-filter
+    #                          advance fractions (1.0 = filter inactive)
 
 
 def resolve_single_fleet_schedule(cfg: ExperimentConfig) -> ExperimentConfig:
@@ -400,7 +592,7 @@ def run_lpv_experiment(cfg: ExperimentConfig,
         jax.profiler.start_trace(profile_dir)
 
     states, inputs, feas_h, dist_h, times, iters_h = [], [], [], [], [], []
-    dist_exec_h = []
+    dist_exec_h, beta_h = [], []
     finished = False
     while it < cfg.max_it:
         t0 = time.time()
@@ -413,6 +605,7 @@ def run_lpv_experiment(cfg: ExperimentConfig,
         feas_h.append(np.asarray(metrics.feasible))
         dist_h.append(float(metrics.min_dist))
         dist_exec_h.append(float(metrics.min_dist_exec))
+        beta_h.append(np.asarray(metrics.exec_beta))
         iters_h.append(np.asarray(metrics.iterations))
         if io is not None:
             io.update(it, state, metrics, times[-1])
@@ -448,4 +641,5 @@ def run_lpv_experiment(cfg: ExperimentConfig,
         feasible=np.asarray(feas_h), min_dist=np.asarray(dist_h),
         min_dist_exec=np.asarray(dist_exec_h),
         step_times=np.asarray(times), iterations=np.asarray(iters_h),
-        steps=len(states), finished=finished)
+        steps=len(states), finished=finished,
+        exec_beta=np.asarray(beta_h))

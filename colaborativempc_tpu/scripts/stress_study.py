@@ -36,7 +36,8 @@ from colaborativempc_tpu.scripts._common import setup_backend
 
 
 def _mk_cfg(family: str, N: int, steps: int, admm_iters=None,
-            assoc=None, eps=1e-4, hold=True, ladder=True):
+            assoc=None, eps=1e-4, hold=True, ladder=True,
+            sep_filter=True, vx_pass=True):
     from colaborativempc_tpu.config import (
         ExperimentConfig, SolverConfig, OCDConfig, lpv_gains, nl_gains,
     )
@@ -51,6 +52,8 @@ def _mk_cfg(family: str, N: int, steps: int, admm_iters=None,
                 max_it=steps, laps=1, hold_on_infeasible=hold,
                 hold_reset_k=3 if ladder else None,
                 hold_cold_k=6 if ladder else None,
+                exec_sep_frac=0.7 if sep_filter else None,
+                hold_vx_frac=0.6 if vx_pass else None,
                 solver=solver)
     if family == "lpv":
         return ExperimentConfig(**base, gains=lpv_gains())
@@ -88,6 +91,7 @@ def _report(name, cfg, res, t_wall):
         z = tiny(z).block_until_ready()
     floor_ms = (time.time() - t0) / 5 * 1e3
     iters = getattr(res, "iterations", None)
+    beta = np.asarray(getattr(res, "exec_beta", np.ones((0, 0))))
     out = {
         "study": name,
         "backend": jax.default_backend(),
@@ -106,6 +110,10 @@ def _report(name, cfg, res, t_wall):
         "max_ms": round(float(warm.max()) * 1e3, 1),
         "dispatch_floor_ms": round(floor_ms, 1),
         "wall_s": round(t_wall, 1),
+        # separation-filter activity: steps where any agent was braked
+        "filter_steps": int((beta < 1.0).any(axis=1).sum())
+        if beta.size else 0,
+        "min_beta": round(float(beta.min()), 3) if beta.size else 1.0,
     }
     if iters is not None and np.asarray(iters).size:
         it_arr = np.asarray(iters, float)
@@ -119,7 +127,9 @@ def full_course(args):
     cfg = _mk_cfg(args.family, args.n, args.steps,
                   assoc=None if args.variant == "auto"
                   else (args.variant == "assoc"),
-                  hold=not args.no_hold, ladder=not args.no_ladder)
+                  hold=not args.no_hold, ladder=not args.no_ladder,
+                  sep_filter=not args.no_filter,
+                  vx_pass=not args.no_vxpass)
     t0 = time.time()
     res = _run(args.family, cfg)
     return _report(f"full-course/{args.family}/N={args.n}", cfg, res,
@@ -180,7 +190,11 @@ def perturbed_batched(args, cfg):
     x0h, uh, m = jax.tree.map(
         lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=1),
         *hists)
-    steps_run = n_chunks * chunk
+    # trim the chunk-padded tail so a non-dividing --chunk reports
+    # exactly --steps (metrics stay comparable to the host-loop study)
+    x0h, uh = x0h[:, :args.steps], uh[:, :args.steps]
+    m = jax.tree.map(lambda v: v[:, :args.steps], m)
+    steps_run = min(n_chunks * chunk, args.steps)
     t_wall = time.time() - t0
     L = float(np.asarray(track.track_length)[cfg.lane])
     s = np.asarray(x0h[..., 6])                     # (S, steps, n_ag)
@@ -193,7 +207,9 @@ def perturbed_batched(args, cfg):
     alive = np.arange(steps_run)[None, :] <= t_done[:, None]
     held = ((~feas.all(axis=2)) & alive).sum(axis=1)
     mde = np.asarray(m.min_dist_exec)                # (S, steps)
-    mde = np.where(alive, mde, np.inf).min(axis=1)
+    # mask non-finite rows (a diverged incomplete lane carries NaN) so
+    # the min stays finite and the JSON stays strict-parser-valid
+    mde = np.where(alive & np.isfinite(mde), mde, np.inf).min(axis=1)
     out = {
         "study": f"perturbed-batched/{args.family}/{args.variant}",
         "backend": jax.default_backend(),
@@ -202,7 +218,11 @@ def perturbed_batched(args, cfg):
         "complete": int(complete.sum()),
         "t_complete": t_done.tolist(),
         "held_steps": held.tolist(),
-        "min_dist_exec": [round(float(d), 4) for d in mde],
+        "min_dist_exec": [round(float(d), 4) if np.isfinite(d) else None
+                          for d in mde],
+        "filter_steps": np.asarray(
+            (np.asarray(m.exec_beta) < 1.0).any(axis=2)
+            & alive).sum(axis=1).tolist(),
         "wall_s": round(t_wall, 1),
     }
     print(json.dumps(out))
@@ -216,7 +236,9 @@ def perturbed(args):
     cfg = _mk_cfg(args.family, args.n, args.steps,
                   assoc=None if args.variant == "auto"
                   else (args.variant == "assoc"),
-                  hold=not args.no_hold, ladder=not args.no_ladder)
+                  hold=not args.no_hold, ladder=not args.no_ladder,
+                  sep_filter=not args.no_filter,
+                  vx_pass=not args.no_vxpass)
     if args.batched:
         return perturbed_batched(args, cfg)
     rng = np.random.default_rng(args.seed)
@@ -241,7 +263,9 @@ def perturbed(args):
 def latency(args):
     cfg = _mk_cfg(args.family, args.n, args.steps,
                   assoc=None if args.variant == "auto"
-                  else (args.variant == "assoc"))
+                  else (args.variant == "assoc"),
+                  sep_filter=not args.no_filter,
+                  vx_pass=not args.no_vxpass)
     cfg = dataclasses.replace(cfg, laps=10**6)  # fixed-step: pure latency
     t0 = time.time()
     res = _run(args.family, cfg)
@@ -318,6 +342,12 @@ def main(argv=None):
                        help="disable hold_on_infeasible (raw semantics)")
         p.add_argument("--no-ladder", action="store_true",
                        help="disable the recovery escalation ladder")
+        p.add_argument("--no-filter", action="store_true",
+                       help="disable the executed-separation safety "
+                            "filter (exec_sep_frac=None)")
+        p.add_argument("--no-vxpass", action="store_true",
+                       help="disable the hold-recovery vx_ref "
+                            "feasibility pass (hold_vx_frac=None)")
 
     p = sub.add_parser("full-course")
     common(p)

