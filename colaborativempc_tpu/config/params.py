@@ -239,15 +239,22 @@ class ExperimentConfig:
     # but never made the retry's QP easier, so a deeply jammed agent
     # could hold for hundreds of steps while parked on track (348/550
     # held steps, BENCH.md round-4 LPV perturbed study). With this knob,
-    # an agent's tracked speed ramps down with its consecutive-hold
-    # count: vx_ref scales by hold_vx_frac**(min(hold_count, k)/k) with
-    # k = hold_reset_k — full vx_ref while healthy, hold_vx_frac of it
-    # at the reset rung and beyond. A lower tracked speed relaxes the
-    # competition between progress and the separation/lane rows, letting
-    # the retry converge and the hold streak break (measured, BENCH.md
-    # round 5). Pre-escalation hold counts are used, so a freshly
-    # cold-re-initialised agent still retries at the reduced target.
-    # None disables (retry at full vx_ref, the round-4 behaviour).
+    # an agent's tracked speed ramps down with its consecutive
+    # hold-or-brake count c = max(hold_count, brake_count): vx_ref
+    # scales by hold_vx_frac**(min(c, k)/k) with k = hold_reset_k —
+    # full vx_ref while healthy, hold_vx_frac of it at the reset rung
+    # and beyond (a deeper 2k decay measured WORSE — crawling prolongs
+    # the fleet's congestion exposure; BENCH.md round 5).
+    # A lower tracked speed relaxes the competition
+    # between progress and the separation/lane rows, letting the retry
+    # converge and the hold streak break (measured, BENCH.md round 5).
+    # brake_count makes sustained separation-filter braking drive the
+    # same ramp: braked solves are FEASIBLE, so hold_count never sees
+    # them, and without the ramp a braked cluster replans the same
+    # closing step forever (the round-5 parking fixed point).
+    # Pre-escalation counts are used, so a freshly cold-re-initialised
+    # agent still retries at the reduced target. None disables (retry
+    # at full vx_ref, the round-4 behaviour).
     hold_vx_frac: Optional[float] = 0.6
     model: ModelParams = ModelParams()
     limits: SysLimits = SysLimits()

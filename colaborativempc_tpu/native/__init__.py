@@ -87,6 +87,10 @@ def load():
             ctypes.c_int, dp, ctypes.c_double, ctypes.c_int,
             dp, dp, ctypes.c_double, dp,
         ]
+        _lib.cmpc_sep_filter.restype = None
+        _lib.cmpc_sep_filter.argtypes = [
+            ctypes.c_int, dp, dp, dp, ctypes.c_double, dp,
+        ]
     return _lib
 
 
@@ -256,3 +260,18 @@ def mpcc_race_native(track, gains, bounds, model, N: int, dt: float,
         _cptr(x_hist), _cptr(u_hist),
         feas.ctypes.data_as(_ct.POINTER(_ct.c_int)))
     return int(t), x_hist[:t], u_hist[:t], feas[:t].astype(bool)
+
+
+def sep_filter_native(p0, p1, prio, floor: float) -> np.ndarray:
+    """Executed-separation safety-filter betas (native/include/cmpc/
+    safety.h) — float64 twin of runtime/simulate.py _sep_filter_beta.
+    ``p0``/``p1``: (n, 2) current/candidate positions; ``prio``: (n,)
+    arc progress. Returns (n,) advance fractions."""
+    lib = load()
+    p0 = np.ascontiguousarray(p0, np.float64)
+    p1 = np.ascontiguousarray(p1, np.float64)
+    prio = np.ascontiguousarray(prio, np.float64)
+    beta = np.zeros(p0.shape[0])
+    lib.cmpc_sep_filter(p0.shape[0], _cptr(p0), _cptr(p1), _cptr(prio),
+                        float(floor), _cptr(beta))
+    return beta

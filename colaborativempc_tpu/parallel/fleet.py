@@ -95,9 +95,11 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
             # and break the scan carry type inside shard_map)
             lanes = state.lane * 0 + cfg.lane
 
-        # hold-recovery feasibility pass: pre-escalation counts (see
-        # runtime/simulate.py hold_vx_scale), shard-local
-        vxs = hold_vx_scale(cfg, state.hold_count, state.x0.dtype)
+        # recovery feasibility pass: pre-escalation hold-or-brake counts
+        # (runtime/simulate.py hold_vx_scale), shard-local
+        vxs = hold_vx_scale(
+            cfg, jnp.maximum(state.hold_count, state.brake_count),
+            state.x0.dtype)
 
         # recovery escalation ladder (shard-local, runtime/simulate.py)
         state = escalate_holds(track, cfg, state, lanes)
@@ -189,12 +191,14 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
             x0_exec = cand_local
             exec_full = None
 
+        brake_count = jnp.where(beta_local < 1.0, state.brake_count + 1,
+                                jnp.zeros_like(state.brake_count))
         new_state = FleetState(
             x0=x0_exec,
             x_pred=x_pred, u_pred=u_pred,
             u_old=u_pred[:, :, 0, :],
             w=w, y=y, rho_scale=rho_scale,
-            lane=lanes, hold_count=hold_count)
+            lane=lanes, hold_count=hold_count, brake_count=brake_count)
 
         # fleet-wide min pairwise distance per scenario: reduce over agents
         all_xy_new = jax.lax.all_gather(
@@ -231,7 +235,8 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
         w=P(scen_axis, agent_axis), y=P(scen_axis, agent_axis),
         rho_scale=P(scen_axis, agent_axis),
         lane=P(scen_axis, agent_axis),
-        hold_count=P(scen_axis, agent_axis))
+        hold_count=P(scen_axis, agent_axis),
+        brake_count=P(scen_axis, agent_axis))
     metrics_spec = StepMetrics(
         feasible=P(scen_axis, agent_axis),
         iterations=P(scen_axis, agent_axis),

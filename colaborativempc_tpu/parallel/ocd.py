@@ -333,12 +333,15 @@ def _sharded_ocd_parts(track: Track, cfg: ExperimentConfig,
             [x_fin[:, :, 1:], x_fin[:, :, -1:]], axis=2)
         u_shift = jnp.concatenate(
             [u_fin[:, :, 1:], u_fin[:, :, -1:]], axis=2)
+        brake_count = jnp.where(beta_local < 1.0, state.brake_count + 1,
+                                jnp.zeros_like(state.brake_count))
         new_state = OCDFleetState(
             x0=x0_exec, x_pred=x_shift, u_pred=u_shift,
             u_old=u_fin[:, :, 0, :],
             lambdas=out.lambdas, w=w_fin, y=y_fin,
             rho_scale=rs_fin,
-            lane=state.lane, hold_count=hold_count)
+            lane=state.lane, hold_count=hold_count,
+            brake_count=brake_count)
 
         dd = exec_xy[:, :, None, :] - exec_xy[:, None, :, :]
         de = jnp.sqrt(jnp.sum(dd * dd, axis=-1) + 1e-12)
@@ -368,7 +371,8 @@ def _sharded_ocd_parts(track: Track, cfg: ExperimentConfig,
         w=P(scen_axis, agent_axis), y=P(scen_axis, agent_axis),
         rho_scale=P(scen_axis, agent_axis),
         lane=P(scen_axis, agent_axis),
-        hold_count=P(scen_axis, agent_axis))
+        hold_count=P(scen_axis, agent_axis),
+        brake_count=P(scen_axis, agent_axis))
     metrics_spec = OCDStepMetrics(
         ocd_iterations=P(scen_axis),
         feasible=P(scen_axis, agent_axis),
@@ -437,7 +441,8 @@ def place_ocd_batch(batched: OCDFleetState, mesh: Mesh,
         w=P(scen_axis, agent_axis), y=P(scen_axis, agent_axis),
         rho_scale=P(scen_axis, agent_axis),
         lane=P(scen_axis, agent_axis),
-        hold_count=P(scen_axis, agent_axis))
+        hold_count=P(scen_axis, agent_axis),
+        brake_count=P(scen_axis, agent_axis))
     return jax.tree.map(put, batched, specs)
 
 

@@ -418,11 +418,26 @@ class MPCCConfig:
     admm_iters: int = 200
     rho: float = 10.0
     # Riccati scheduling passthrough (ops/admm.py admm_solve; None = the
-    # N-dependent defaults). assoc = blocked log-depth affine solves —
-    # measured on the LPV N=125 single-fleet path (BENCH.md); opt-in here.
+    # N-dependent defaults). assoc = blocked log-depth affine solves.
+    # assoc=None resolves to True at N >= 48 with epoch_len 15 — the
+    # same single-fleet latency schedule as the collaborative planners
+    # (runtime/simulate.py resolve_single_fleet_schedule), MEASURED on
+    # the racing driver at the reference's N=60: p50 49.0 -> 32.5 ms,
+    # p95 59.5 -> 37.8 ms, identical race progress, 100% feasible
+    # (bench_suite --mpcc-assoc, TPU v5e, BENCH.md round 5). Pin
+    # True/False to override; short horizons (N < 48) keep the
+    # sequential scan (assoc pays ~3x FLOPs and loses there).
     epoch_len: Optional[int] = None
     unroll: Optional[int] = None
-    assoc: bool = False
+    assoc: Optional[bool] = None
+
+    def resolved_assoc(self) -> bool:
+        return self.N >= 48 if self.assoc is None else self.assoc
+
+    def resolved_epoch_len(self) -> Optional[int]:
+        if self.epoch_len is not None:
+            return self.epoch_len
+        return 15 if self.resolved_assoc() and self.N >= 48 else None
     gains: MPCCGains = MPCCGains()
     bounds: MPCCBounds = MPCCBounds()
     model: PacejkaParams = PacejkaParams()

@@ -87,7 +87,8 @@ def run_lpv_battery(cfg: ExperimentConfig, grid: Sequence[Gains],
             x0=sol.x_pred[:, 1, :], x_pred=sol.x_pred, u_pred=sol.u_pred,
             u_old=sol.u_pred[:, 0, :], w=sol.w, y=sol.y,
             rho_scale=sol.rho_scale,
-            lane=state.lane, hold_count=state.hold_count)
+            lane=state.lane, hold_count=state.hold_count,
+            brake_count=state.brake_count)
         pe = sol.x_pred[:, 1, 7:9]
         de = jnp.sqrt(jnp.sum((pe[:, None] - pe[None, :]) ** 2, axis=-1)
                       + 1e-12) + jnp.eye(pe.shape[0]) * 1e9

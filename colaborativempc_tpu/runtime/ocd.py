@@ -44,6 +44,10 @@ class OCDFleetState(NamedTuple):
     rho_scale: jnp.ndarray
     lane: jnp.ndarray      # (n_ag,) int32 lane each x0's Frenet row lives on
     hold_count: jnp.ndarray  # (n_ag,) int32 consecutive plan-holds (ladder)
+    brake_count: jnp.ndarray  # (n_ag,) int32 consecutive separation-filter
+    #   brakings (simulate.FleetState.brake_count; carried for parity and
+    #   observability — the NL stressed studies complete with ~zero holds
+    #   so the vx ramp is not wired into the OCD solve)
 
 
 class _OCDLoopState(NamedTuple):
@@ -394,6 +398,8 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
         from colaborativempc_tpu.runtime.simulate import separation_filter
         x0_exec, exec_beta = separation_filter(cfg, state.x0,
                                                x_fin[:, 1, :])
+        brake_count = jnp.where(exec_beta < 1.0, state.brake_count + 1,
+                                jnp.zeros_like(state.brake_count))
 
         # control-step shift (NL_EU_N_main.py:170-172): x0 <- x_pred[1],
         # linearisation trajectory <- shifted prediction
@@ -405,7 +411,8 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
             u_old=u_fin[:, 0, :],
             lambdas=out.lambdas, w=w_fin, y=y_fin,
             rho_scale=rs_fin,
-            lane=state.lane, hold_count=hold_count)
+            lane=state.lane, hold_count=hold_count,
+            brake_count=brake_count)
 
         p = x_fin[:, 1:, 7:9]
         diff = p[:, None] - p[None, :]
@@ -569,7 +576,8 @@ def init_nl_fleet(track: Track, cfg: ExperimentConfig,
         y=jnp.zeros((cfg.n_agents, cfg.N, m), dtype),
         rho_scale=jnp.ones((cfg.n_agents, m), dtype),
         lane=jnp.full((cfg.n_agents,), cfg.lane, jnp.int32),
-        hold_count=jnp.zeros((cfg.n_agents,), jnp.int32))
+        hold_count=jnp.zeros((cfg.n_agents,), jnp.int32),
+        brake_count=jnp.zeros((cfg.n_agents,), jnp.int32))
 
 
 class NLExperimentResult(NamedTuple):

@@ -185,7 +185,10 @@ def _make_mpcc_step_fn(track: Track, cfg: MPCCConfig):
             admm_iters=cfg.admm_iters, rho=cfg.rho,
             bounds=cfg.bounds, norm=norm,
             w0=w0, y0=y0, rho_scale0=rs0,
-            epoch_len=cfg.epoch_len, unroll=cfg.unroll, assoc=cfg.assoc)
+            # N>=48 latency schedule (blocked-assoc + epoch 15) measured
+            # 1.5x at the reference's N=60 (bench_suite --mpcc-assoc)
+            epoch_len=cfg.resolved_epoch_len(), unroll=cfg.unroll,
+            assoc=cfg.resolved_assoc())
 
         finite = (jnp.all(jnp.isfinite(sol.x_pred))
                   & jnp.all(jnp.isfinite(sol.u_pred)))

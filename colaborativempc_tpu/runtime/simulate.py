@@ -39,6 +39,11 @@ class FleetState(NamedTuple):
     rho_scale: jnp.ndarray  # (n_ag, m) per-row-class adaptive-rho warm start
     lane: jnp.ndarray     # (n_ag,) int32 lane each x0's Frenet row lives on
     hold_count: jnp.ndarray  # (n_ag,) int32 consecutive plan-holds (ladder)
+    brake_count: jnp.ndarray  # (n_ag,) int32 consecutive separation-
+    #   filter brakings (feeds the same vx_ref ramp as holds: a braked
+    #   solve is FEASIBLE, so hold_count never sees it — without this
+    #   counter a filter-braked cluster is a fixed point the planner can
+    #   park in, replanning the same closing step forever; BENCH.md r5)
 
 
 class StepMetrics(NamedTuple):
@@ -233,22 +238,28 @@ def separation_filter(cfg: ExperimentConfig, x_cur: jnp.ndarray,
     return _apply_exec_beta(x_cur, x_cand, beta), beta
 
 
-def hold_vx_scale(cfg: ExperimentConfig, hold_count, dtype=jnp.float32):
-    """Hold-recovery feasibility pass (``cfg.hold_vx_frac``): per-agent
-    vx_ref multipliers that ramp each agent's tracked speed down with its
-    consecutive-hold count, so a jammed retry competes less with the
-    separation/lane rows — full vx_ref at hold_count=0,
+def hold_vx_scale(cfg: ExperimentConfig, count, dtype=jnp.float32):
+    """Recovery feasibility pass (``cfg.hold_vx_frac``): per-agent
+    vx_ref multipliers that ramp each agent's tracked speed down with
+    its consecutive hold-or-brake count, so a jammed retry competes
+    less with the separation/lane rows — full vx_ref at count=0,
     ``hold_vx_frac`` of it at the ``hold_reset_k`` rung and beyond.
-    ``hold_count`` must be the PRE-escalation count: a freshly
-    cold-re-initialised agent (whose counter escalate_holds just zeroed)
-    still retries its brand-new warm start at the reduced target. Shape
-    follows ``hold_count`` (works batched/sharded). Exactly 1.0 when
-    disabled or while an agent is not holding."""
+    The clamp at ONE notch is measured: a deeper min(c,2k)/k decay to
+    frac^2 (0.36 vx_ref) made the round-5 seq stressed starts WORSE
+    (8/8 -> 6/8, worst-start holds 245 -> 393) — crawling prolongs the
+    fleet's exposure to the congestion window instead of resolving it.
+    ``count`` is max(hold_count, brake_count) PRE-escalation: a freshly
+    cold-re-initialised agent (whose counter escalate_holds just
+    zeroed) still retries its brand-new warm start at the reduced
+    target, and separation-filter braking — whose solves are feasible
+    and therefore invisible to hold_count — drives the same ramp.
+    Shape follows ``count`` (works batched/sharded). Exactly 1.0 when
+    disabled or while an agent is neither holding nor braked."""
     if not cfg.hold_on_infeasible or cfg.hold_vx_frac is None:
-        return jnp.ones(hold_count.shape, dtype)
+        return jnp.ones(count.shape, dtype)
     k = float(max(cfg.hold_reset_k if cfg.hold_reset_k is not None else 3,
                   1))
-    hc = jnp.minimum(hold_count.astype(dtype), k)
+    hc = jnp.minimum(count.astype(dtype), k)
     return jnp.asarray(cfg.hold_vx_frac, dtype) ** (hc / k)
 
 
@@ -262,14 +273,24 @@ def escalate_holds(track: Track, cfg: ExperimentConfig, state, lanes):
     MPCC driver's failure ladder (``mpc.cpp:231-252`` n_no_solves_ ->
     resetInitialGuess; ``runtime/racing.py`` n_reset):
 
-    - ``hold_count >= cfg.hold_reset_k``: reset the agent's ADMM warm state
+    - ``count >= cfg.hold_reset_k``: reset the agent's ADMM warm state
       (w, y, rho_scale) so duals adapted to the pre-jam geometry stop
       poisoning the retry; the held plan stays the linearisation.
-    - ``hold_count >= cfg.hold_cold_k``: cold re-initialise the agent — a
+    - ``count >= cfg.hold_cold_k``: cold re-initialise the agent — a
       fresh constant-acceleration warm-start trajectory from its CURRENT
       state on its current lane (utils/warmstart.py, the reference's
       generateNewInitialGuess / predicted_vectors_generation) replaces the
       stale plan, warm state resets, and the hold budget restarts.
+
+    ``count`` is max(hold_count, brake_count): sustained
+    separation-filter braking escalates exactly like holding. A braked
+    agent's carried/broadcast plan runs AHEAD of where it actually is
+    (the filter executed less than one stage), so the whole cluster
+    plans around phantom positions and can park at the floor forever —
+    round-5 measured: two stressed starts froze for 361/476 steps with
+    zero holds. The cold rung is the cure: the fresh warm start is
+    anchored at the agent's ACTUAL (braked) pose, re-truthing the
+    exchange.
 
     Generic over leading batch axes: works on (n_ag, ...) fleet states and
     (S_local, A_local, ...) sharded states alike (``hold_count``'s shape
@@ -279,12 +300,13 @@ def escalate_holds(track: Track, cfg: ExperimentConfig, state, lanes):
                                       and cfg.hold_cold_k is None):
         return state
     from colaborativempc_tpu.utils.warmstart import warmstart_trajectory
-    hc = state.hold_count
+    hc = jnp.maximum(state.hold_count, state.brake_count)
 
     def bc(mask, ref):
         return mask.reshape(mask.shape + (1,) * (ref.ndim - mask.ndim))
 
-    x_pred, u_pred, hold_count = state.x_pred, state.u_pred, hc
+    x_pred, u_pred = state.x_pred, state.u_pred
+    hold_count, brake_count = state.hold_count, state.brake_count
     if cfg.hold_cold_k is not None:
         cold = hc >= cfg.hold_cold_k
         ws = lambda x, ln: warmstart_trajectory(  # noqa: E731
@@ -296,6 +318,7 @@ def escalate_holds(track: Track, cfg: ExperimentConfig, state, lanes):
         u_pred = jnp.where(bc(cold, u_pred), u_ws.astype(u_pred.dtype),
                            u_pred)
         hold_count = jnp.where(cold, 0, hold_count)
+        brake_count = jnp.where(cold, 0, brake_count)
     else:
         cold = jnp.zeros(hc.shape, bool)
     reset = cold
@@ -306,7 +329,8 @@ def escalate_holds(track: Track, cfg: ExperimentConfig, state, lanes):
     rho_scale = jnp.where(bc(reset, state.rho_scale),
                           jnp.ones_like(state.rho_scale), state.rho_scale)
     return state._replace(x_pred=x_pred, u_pred=u_pred, w=w, y=y,
-                          rho_scale=rho_scale, hold_count=hold_count)
+                          rho_scale=rho_scale, hold_count=hold_count,
+                          brake_count=brake_count)
 
 
 def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
@@ -364,9 +388,11 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
         else:
             lanes = jnp.full((cfg.n_agents,), cfg.lane, jnp.int32)
 
-        # hold-recovery feasibility pass: pre-escalation counts (see
-        # hold_vx_scale) scale each agent's tracked speed for THIS solve
-        vxs = hold_vx_scale(cfg, state.hold_count, state.x0.dtype)
+        # recovery feasibility pass: pre-escalation hold-or-brake counts
+        # (see hold_vx_scale) scale each agent's tracked speed this solve
+        vxs = hold_vx_scale(
+            cfg, jnp.maximum(state.hold_count, state.brake_count),
+            state.x0.dtype)
         limits_step = limits_pa._replace(
             vx_ref=jnp.asarray(limits_pa.vx_ref) * vxs)
 
@@ -434,12 +460,14 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
         # linearisation exactly as under plan-holding)
         x0_exec, exec_beta = separation_filter(cfg, state.x0,
                                                x_pred[:, 1, :])
+        brake_count = jnp.where(exec_beta < 1.0, state.brake_count + 1,
+                                jnp.zeros_like(state.brake_count))
         new_state = FleetState(
             x0=x0_exec,                    # x0 shift (prediction = plant)
             x_pred=x_pred, u_pred=u_pred,
             u_old=u_pred[:, 0, :],
             w=w, y=y, rho_scale=rho_scale,
-            lane=lanes, hold_count=hold_count)
+            lane=lanes, hold_count=hold_count, brake_count=brake_count)
         exec_xy = x0_exec[:, 7:9]                     # applied next states
         dd = exec_xy[:, None, :] - exec_xy[None, :, :]
         dexec = jnp.sqrt(jnp.sum(dd * dd, axis=-1) + 1e-12)
@@ -502,7 +530,8 @@ def init_lpv_fleet(track: Track, cfg: ExperimentConfig,
         y=jnp.zeros((cfg.n_agents, cfg.N, m), dtype),
         rho_scale=jnp.ones((cfg.n_agents, m), dtype),
         lane=jnp.full((cfg.n_agents,), cfg.lane, jnp.int32),
-        hold_count=jnp.zeros((cfg.n_agents,), jnp.int32))
+        hold_count=jnp.zeros((cfg.n_agents,), jnp.int32),
+        brake_count=jnp.zeros((cfg.n_agents,), jnp.int32))
 
 
 class ExperimentResult(NamedTuple):

@@ -7,6 +7,7 @@
 #include "cmpc/model.h"
 #include "cmpc/nl.h"
 #include "cmpc/pacejka.h"
+#include "cmpc/safety.h"
 #include "cmpc/solver.h"
 
 namespace cmpc {
@@ -181,6 +182,14 @@ void cmpc_step_rk4(int n_seg, const double* seg, double track_len,
   ModelParams mp{model[0], model[1], model[2], model[3], model[4],
                  model[5], model[6]};
   step_rk4(trk, x, u, dt, mp);
+}
+
+// Executed-separation safety-filter betas (include/cmpc/safety.h; the
+// float64 twin of runtime/simulate.py _sep_filter_beta — cross-
+// validated in tests/test_native.py).
+void cmpc_sep_filter(int n, const double* p0, const double* p1,
+                     const double* prio, double floor_d, double* beta) {
+  sep_filter_betas(n, p0, p1, prio, floor_d, beta);
 }
 
 }  // extern "C"

@@ -27,6 +27,7 @@
 #include "cmpc/model.h"
 #include "cmpc/nl.h"
 #include "cmpc/pacejka.h"
+#include "cmpc/safety.h"
 #include "cmpc/solver.h"
 
 namespace cmpc {
@@ -91,6 +92,8 @@ static int run_nl_ocd(const Track& trk, int n_agents, int N, int steps,
   long total_ocd = 0;
   int n_solves = 0;
   bool all_ok = true;
+  std::vector<std::vector<double>> x0_exec_nl(
+      n_agents, std::vector<double>(NX, 0.0));
   for (int it = 0; it < steps; ++it) {
     std::vector<std::vector<double>> x_old = x_pred;
     int it_ocd = 0, conv_count = 0;
@@ -155,9 +158,37 @@ static int run_nl_ocd(const Track& trk, int n_agents, int N, int steps,
     }
     total_ocd += it_ocd;
 
+    // executed-separation safety filter on the applied x0-shift
+    // (runtime/simulate.py separation_filter; include/cmpc/safety.h)
+    if (n_agents > 1) {
+      std::vector<double> p0(2 * n_agents), p1(2 * n_agents);
+      std::vector<double> prio(n_agents), beta(n_agents);
+      for (int a = 0; a < n_agents; ++a) {
+        p0[2 * a] = x0[a][7];
+        p0[2 * a + 1] = x0[a][8];
+        p1[2 * a] = x_pred[a][NX + 7];
+        p1[2 * a + 1] = x_pred[a][NX + 8];
+        prio[a] = x0[a][6];
+      }
+      sep_filter_betas(n_agents, p0.data(), p1.data(), prio.data(),
+                       0.7 * lim.min_dist, beta.data());
+      for (int a = 0; a < n_agents; ++a)
+        if (beta[a] < 1.0)
+          for (int i = 0; i < NX; ++i)
+            x0_exec_nl[a][i] = x0[a][i]
+                + beta[a] * (x_pred[a][NX + i] - x0[a][i]);
+        else
+          std::memcpy(x0_exec_nl[a].data(), &x_pred[a][NX],
+                      NX * sizeof(double));
+    } else {
+      std::memcpy(x0_exec_nl[0].data(), &x_pred[0][NX],
+                  NX * sizeof(double));
+    }
+
     // control-step shift (NL_EU_N_main.py:170-172)
     for (int a = 0; a < n_agents; ++a) {
-      std::memcpy(x0[a].data(), &x_pred[a][NX], NX * sizeof(double));
+      std::memcpy(x0[a].data(), x0_exec_nl[a].data(),
+                  NX * sizeof(double));
       u_old[a][0] = u_pred[a][0];
       u_old[a][1] = u_pred[a][1];
       std::memmove(&x_pred[a][0], &x_pred[a][NX],
@@ -290,6 +321,7 @@ int main(int argc, char** argv) {
   int n_solves = 0;
   bool all_ok = true;
   for (int it = 0; it < steps; ++it) {
+    const auto x0_prev = x0;   // standstill anchors for the safety filter
     // exchange: every agent reads everyone's previous (X, Y) plan
     // (N+1 stage rows: planes use 0..N-1, weights 1..N)
     std::vector<double> all_xy(static_cast<size_t>(N + 1) * n_agents * 2);
@@ -335,6 +367,27 @@ int main(int argc, char** argv) {
       std::memcpy(x0[a].data(), &x_pred[a][NX], NX * sizeof(double));
       u_old[a][0] = u_pred[a][0];
       u_old[a][1] = u_pred[a][1];
+    }
+
+    // executed-separation safety filter on the applied x0-shift
+    // (runtime/simulate.py separation_filter; include/cmpc/safety.h)
+    if (n_agents > 1) {
+      std::vector<double> p0(2 * n_agents), p1(2 * n_agents);
+      std::vector<double> prio(n_agents), beta(n_agents);
+      for (int a = 0; a < n_agents; ++a) {
+        p0[2 * a] = x0_prev[a][7];
+        p0[2 * a + 1] = x0_prev[a][8];
+        p1[2 * a] = x0[a][7];
+        p1[2 * a + 1] = x0[a][8];
+        prio[a] = x0_prev[a][6];
+      }
+      sep_filter_betas(n_agents, p0.data(), p1.data(), prio.data(),
+                       0.7 * lim.min_dist, beta.data());
+      for (int a = 0; a < n_agents; ++a)
+        if (beta[a] < 1.0)
+          for (int i = 0; i < NX; ++i)
+            x0[a][i] = x0_prev[a][i]
+                + beta[a] * (x0[a][i] - x0_prev[a][i]);
     }
   }
 

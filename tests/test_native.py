@@ -263,3 +263,33 @@ def test_native_mpcc_sim_binary(tmp_path):
     assert out.returncode == 0, out.stdout + out.stderr
     assert "mpcc: steps=30" in out.stdout
     assert "feasible=30/30" in out.stdout
+
+
+def test_native_sep_filter_matches_jax():
+    """The native safety-filter betas (include/cmpc/safety.h) equal the
+    JAX filter (runtime/simulate.py _sep_filter_beta) on random fleets,
+    and both honour the non-worsening floor guarantee."""
+    import jax.numpy as jnp
+    from colaborativempc_tpu.native import available, sep_filter_native
+    from colaborativempc_tpu.runtime.simulate import _sep_filter_beta
+    if not available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    floor = 0.175
+    for _ in range(100):
+        n = int(rng.integers(2, 6))
+        p0 = rng.uniform(-2.0, 2.0, (n, 2))
+        p1 = p0 + rng.uniform(-0.2, 0.2, (n, 2))
+        prio = rng.uniform(0.0, 30.0, n)
+        b_nat = sep_filter_native(p0, p1, prio, floor)
+        b_jax = np.asarray(_sep_filter_beta(
+            jnp.asarray(p0, jnp.float32), jnp.asarray(p1, jnp.float32),
+            floor, prio=jnp.asarray(prio, jnp.float32)))
+        assert np.allclose(b_nat, b_jax, atol=2e-3), (b_nat, b_jax)
+        p = p0 + b_nat[:, None] * (p1 - p0)
+        d = np.linalg.norm(p[:, None] - p[None, :], axis=-1) \
+            + np.eye(n) * 1e9
+        d0 = np.linalg.norm(p0[:, None] - p0[None, :], axis=-1) \
+            + np.eye(n) * 1e9
+        assert (d >= np.minimum(floor, d0) - 1e-6).all()

@@ -132,6 +132,33 @@ def test_lpv_step_floor_and_non_worsening():
     assert (np.concatenate(betas) < 1.0).any()   # the filter did activate
 
 
+def test_brake_ramp_keeps_fleet_moving():
+    """Liveness: sustained filter braking must not park the fleet.
+    brake_count drives the same vx_ref ramp as holds (a braked solve is
+    feasible, so hold_count never fires), and braking is asymmetric —
+    together a floor-pinned pair keeps progressing along the track
+    instead of replanning the same closing step forever (the round-5
+    parking fixed point seen on 2 of 8 stressed starts)."""
+    cfg = ExperimentConfig(
+        n_agents=2, N=10, dt=0.025, max_it=10, map_type="oval",
+        gains=lpv_gains(), solver=SolverConfig(admm_iters=200),
+        exec_sep_frac=1.3)
+    track = make_track(cfg.map_type)
+    x0s = np.asarray(x0_database(2)).copy()
+    x0s[0, 3], x0s[1, 3] = 0.15, -0.15
+    x0s[1, 6] = x0s[0, 6]
+    state = init_lpv_fleet(track, cfg, x0s)
+    step = make_lpv_fleet_step(track, cfg)
+    s0 = np.asarray(state.x0[:, 6]).copy()
+    braked_any = 0
+    for _ in range(20):
+        state, m = step(state)
+        braked_any += int((np.asarray(m.exec_beta) < 1.0).any())
+    s1 = np.asarray(state.x0[:, 6])
+    assert braked_any >= 3                      # the filter kept engaging
+    assert (s1 - s0).min() > 0.25, (s0, s1)     # ...and nobody parked
+
+
 def test_filter_inactive_is_bit_identical():
     """On a canonical (well-separated) course the filter is an exact
     no-op: states with exec_sep_frac=0.7 equal exec_sep_frac=None
@@ -225,7 +252,8 @@ def test_hold_vx_scale_ramp():
     assert s[0] == 1.0
     assert 0.6 < s[1] < 1.0
     assert abs(s[2] - 0.6) < 1e-6
-    assert abs(s[3] - 0.6) < 1e-6     # clamped at the reset rung
+    assert abs(s[3] - 0.6) < 1e-6     # clamped at the reset rung (a
+    # deeper 2k decay measured WORSE: crawling prolongs congestion)
     off = ExperimentConfig(hold_vx_frac=None, gains=lpv_gains())
     assert (np.asarray(hold_vx_scale(off, hc)) == 1.0).all()
 
