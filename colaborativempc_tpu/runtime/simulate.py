@@ -153,11 +153,14 @@ def _sep_filter_beta(p0: jnp.ndarray, p1: jnp.ndarray, floor,
     def brake_root(ab, bb, c):
         # largest t in [0, 1] with the convex d^2(t) >= g^2 given
         # d^2(0) - g^2 = c >= 0: the smaller root of
-        # bb t^2 + 2 ab t + c (the negative set is an interval)
+        # bb t^2 + 2 ab t + c (the negative set is an interval).
+        # Shaved by 1e-3 so a braked agent stops marginally SHORT of the
+        # floor: landing exactly on it makes every later step a float32
+        # boundary case (candidate at floor +- eps -> endless refilter).
         disc = ab * ab - bb * c
         root = ((-ab - jnp.sqrt(jnp.maximum(disc, 0.0)))
                 / jnp.maximum(bb, 1e-12))
-        return jnp.clip(root, 0.0, 1.0)
+        return jnp.clip(root, 0.0, 1.0) * (1.0 - 1e-3)
 
     def one_pass(beta, _):
         q = p0 + beta[:, None] * delta                    # moved positions
@@ -196,11 +199,17 @@ def _sep_filter_beta(p0: jnp.ndarray, p1: jnp.ndarray, floor,
                            length=n_pass)
     # all-stop fallback: per-agent betas are pair-coupled, so verify the
     # result and fall back to exact standstill if any pair is still both
-    # below the floor and closer than it stood
+    # below the floor and MATERIALLY closer than it stood. The margin
+    # must sit well above float32 rounding of the squared distances
+    # (eps(0.03 m^2) ~ 2e-9): a 1e-9 margin measured as a permanent
+    # fleet-wide freeze — rounding noise tripped the fallback every
+    # step while the true distances were unchanged (round-5 lane-3
+    # park, BENCH.md). Relative + absolute so it scales with distance.
     p = p0 + beta[:, None] * delta
     dd = p[:, None] - p[None, :]
     dsq = jnp.sum(dd * dd, axis=-1)
-    bad = jnp.any((dsq < f2) & (dsq < d0sq - 1e-9) & ~eyeb)
+    margin = jnp.maximum(1e-4 * d0sq, 1e-7)
+    bad = jnp.any((dsq < f2) & (dsq < d0sq - margin) & ~eyeb)
     return jnp.where(bad, jnp.zeros_like(beta), beta)
 
 

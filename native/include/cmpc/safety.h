@@ -40,11 +40,14 @@ inline void sep_filter_betas(int n, const double* p0, const double* p1,
   };
   // largest t in [0, 1] with the convex d^2(t) >= g^2 given
   // d^2(0) - g^2 = c >= 0 (smaller root; the negative set is an interval)
+  // shaved by 1e-3 so braked agents stop marginally short of the floor
+  // (exact landing makes later steps float boundary cases — see the
+  // JAX twin's comment)
   auto brake_root = [](double ab, double bb, double c) {
     const double disc = ab * ab - bb * c;
     const double root = (-ab - std::sqrt(std::max(disc, 0.0)))
                         / std::max(bb, 1e-12);
-    return std::min(std::max(root, 0.0), 1.0);
+    return std::min(std::max(root, 0.0), 1.0) * (1.0 - 1e-3);
   };
   for (int pass = 0; pass < n_pass; ++pass) {
     std::vector<double> t(n, 1.0);
@@ -97,7 +100,10 @@ inline void sep_filter_betas(int n, const double* p0, const double* p1,
       const double pyj = p0[2 * j + 1] + beta[j] * dy[j];
       const double ddx = pxi - pxj, ddy = pyi - pyj;
       const double dsq = ddx * ddx + ddy * ddy;
-      if (dsq < f2 && dsq < d0sq(i, j) - 1e-9) {
+      // float32-safe non-worsening margin, mirroring the JAX twin (a
+      // 1e-9 margin froze fleets on rounding noise — see its comment)
+      const double margin = std::max(1e-4 * d0sq(i, j), 1e-7);
+      if (dsq < f2 && dsq < d0sq(i, j) - margin) {
         for (int a = 0; a < n; ++a) beta[a] = 0.0;
         return;
       }
