@@ -216,13 +216,19 @@ def _sep_filter_beta(p0: jnp.ndarray, p1: jnp.ndarray, floor,
 def _apply_exec_beta(x_cur: jnp.ndarray, x_cand: jnp.ndarray,
                      beta: jnp.ndarray) -> jnp.ndarray:
     """Braking along the plan: interpolate the FULL state row between the
-    current state (beta=0) and the plan's first stage (beta=1). All nine
-    fields interpolate — positions brake exactly as computed by
-    :func:`_sep_filter_beta`; the Frenet/velocity fields follow to first
-    order (consistent within one control period). Bit-identical to the
-    candidate wherever beta == 1."""
+    current state (beta=0) and the plan's first stage (beta=1), then
+    scale the velocity fields (vx, vy, wz) by beta so the executed state
+    is a truthful BRAKE: the position advanced beta of a stage, so the
+    realized speed is ~beta times the planned one. Without the scaling a
+    hard-braked agent kept its cruising vx while standing still, and the
+    next linearisation planned from that phantom momentum — measured to
+    end in a spin-and-reverse divergence after the jam cleared (round-5
+    lane-3 study, BENCH.md; the vx<0.2 straight-line switch in the LPV
+    embedding keeps near-zero speeds well-posed, dynamics/bicycle.py).
+    Bit-identical to the candidate wherever beta == 1."""
     lerp = x_cur + beta[..., None] * (x_cand - x_cur)
-    return jnp.where((beta >= 1.0)[..., None], x_cand, lerp)
+    vel_scaled = lerp.at[..., 0:3].multiply(beta[..., None])
+    return jnp.where((beta >= 1.0)[..., None], x_cand, vel_scaled)
 
 
 def separation_filter(cfg: ExperimentConfig, x_cur: jnp.ndarray,

@@ -223,6 +223,13 @@ def perturbed_batched(args, cfg):
         "filter_steps": np.asarray(
             (np.asarray(m.exec_beta) < 1.0).any(axis=2)
             & alive).sum(axis=1).tolist(),
+        # honesty metric: worst lateral excursion while alive — an agent
+        # ejected from the corridor can still "complete" by arc progress
+        # (round-5 seq lane-7 study: one scrambled agent recovered along
+        # the track but ~meters off the lane)
+        "max_abs_ey": [round(float(e), 2) for e in np.where(
+            alive[:, :, None], np.abs(np.asarray(x0h[..., 3])), 0.0)
+            .max(axis=(1, 2))],
         "wall_s": round(t_wall, 1),
     }
     print(json.dumps(out))

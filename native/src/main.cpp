@@ -173,13 +173,17 @@ static int run_nl_ocd(const Track& trk, int n_agents, int N, int steps,
       sep_filter_betas(n_agents, p0.data(), p1.data(), prio.data(),
                        0.7 * lim.min_dist, beta.data());
       for (int a = 0; a < n_agents; ++a)
-        if (beta[a] < 1.0)
+        if (beta[a] < 1.0) {
           for (int i = 0; i < NX; ++i)
             x0_exec_nl[a][i] = x0[a][i]
                 + beta[a] * (x_pred[a][NX + i] - x0[a][i]);
-        else
+          // truthful brake: realized speed ~ beta * planned speed
+          // (runtime/simulate.py _apply_exec_beta)
+          for (int i = 0; i < 3; ++i) x0_exec_nl[a][i] *= beta[a];
+        } else {
           std::memcpy(x0_exec_nl[a].data(), &x_pred[a][NX],
                       NX * sizeof(double));
+        }
     } else {
       std::memcpy(x0_exec_nl[0].data(), &x_pred[0][NX],
                   NX * sizeof(double));
@@ -384,10 +388,13 @@ int main(int argc, char** argv) {
       sep_filter_betas(n_agents, p0.data(), p1.data(), prio.data(),
                        0.7 * lim.min_dist, beta.data());
       for (int a = 0; a < n_agents; ++a)
-        if (beta[a] < 1.0)
+        if (beta[a] < 1.0) {
           for (int i = 0; i < NX; ++i)
             x0[a][i] = x0_prev[a][i]
                 + beta[a] * (x0[a][i] - x0_prev[a][i]);
+          // truthful brake: realized speed ~ beta * planned speed
+          for (int i = 0; i < 3; ++i) x0[a][i] *= beta[a];
+        }
     }
   }
 

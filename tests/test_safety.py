@@ -157,7 +157,10 @@ def test_brake_ramp_keeps_fleet_moving():
         state, m = step(state)
         braked_any += int((np.asarray(m.exec_beta) < 1.0).any())
     s1 = np.asarray(state.x0[:, 6])
-    assert braked_any >= 3                      # the filter kept engaging
+    # >= 2 engagements: truthful beta-scaled braking slows the follower
+    # for real, so later steps need the filter less — fewer engagements
+    # with the same floor is the desired direction
+    assert braked_any >= 2
     assert (s1 - s0).min() > 0.25, (s0, s1)     # ...and nobody parked
 
 
