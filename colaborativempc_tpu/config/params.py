@@ -204,6 +204,23 @@ class ExperimentConfig:
     # None disables a rung. Only active when hold_on_infeasible is set.
     hold_reset_k: Optional[int] = 3
     hold_cold_k: Optional[int] = 6
+    # Degraded-execution escape (the ladder's last rung): after
+    # ``hold_exec_k`` CONSECUTIVE infeasible solves (tracked by
+    # ``jam_count``, which the ladder never resets — hold_count cycles
+    # 0..hold_cold_k because the cold rung zeroes it, so no deeper
+    # hold-based threshold can ever fire), the unconverged plan is
+    # EXECUTED anyway. This is the reference's own degraded-solve
+    # semantics (OSQP max_iter_reached is accepted and executed,
+    # LPV_Planner.py:241-249) — but made safe by the round-5 hard
+    # bounds: the separation floor and the lateral wall clamp whatever
+    # the degraded plan tries to do, which is exactly what they exist
+    # for. Without this rung a jammed agent whose QP never re-enters
+    # tolerance holds forever (round-5 canonical-course study: 285
+    # consecutive holds at the iteration cap, BENCH.md). Mode is
+    # sticky by construction: jam_count keeps climbing while solves
+    # stay infeasible, so execution continues until one converges.
+    # None disables (round-4 strict-hold semantics).
+    hold_exec_k: Optional[int] = 12
     # Stale-broadcast separation boost (LPV fleet paths): each agent
     # multiplies its distance-based separation reward weight by
     # (1 + hold_sep_boost) toward any neighbour whose hold_count is
@@ -234,17 +251,32 @@ class ExperimentConfig:
     # floor. None disables. Applied on every closed-loop fleet path
     # (LPV + NL-OCD, single-device + sharded).
     exec_sep_frac: Optional[float] = 0.7
+    # Track-limits wall on the executed stage: the applied x0-shift may
+    # not take |ey| beyond ``exec_ey_wall * halfwidth`` — or beyond its
+    # CURRENT |ey| if already outside (monotone non-worsening, like the
+    # separation filter; the clamped XY is recomputed from the Frenet
+    # pose, which is the source of truth). Round-5 measured motive
+    # (BENCH.md): in the Highway k=0.35 curve the Frenet chart is only
+    # valid for |ey| < 1/k ~ 2.9 m, and a holding agent executing a
+    # degraded plan tail burst from ey ~0.9 to -7.4 m THROUGH the chart
+    # singularity, after which every recovery plan kept the garbage
+    # offset and the agent drove beside the track for the rest of the
+    # course. 2.0 x halfwidth is generous (well outside the soft lane
+    # rows, well inside chart validity). Exact no-op while every agent
+    # executes inside the wall. None disables.
+    exec_ey_wall: Optional[float] = 2.0
     # Hold-recovery feasibility pass ("congestion-window convergence",
     # ROADMAP): plan-holding + the escalation ladder reset solver STATE
     # but never made the retry's QP easier, so a deeply jammed agent
     # could hold for hundreds of steps while parked on track (348/550
     # held steps, BENCH.md round-4 LPV perturbed study). With this knob,
-    # an agent's tracked speed ramps down with its consecutive
-    # hold-or-brake count c = max(hold_count, brake_count): vx_ref
-    # scales by hold_vx_frac**(min(c, k)/k) with k = hold_reset_k —
-    # full vx_ref while healthy, hold_vx_frac of it at the reset rung
-    # and beyond (a deeper 2k decay measured WORSE — crawling prolongs
-    # the fleet's congestion exposure; BENCH.md round 5).
+    # an agent's tracked speed steps down with its consecutive
+    # hold-or-brake count c = max(hold_count, brake_count): vx_ref is
+    # FULL below the hold_reset_k rung and hold_vx_frac of it at the
+    # rung and beyond — transient holds retry at full speed, only a
+    # persistent jam slows down. Decaying deeper than one notch
+    # measured WORSE on the stressed starts (crawling prolongs
+    # congestion exposure; BENCH.md round 5).
     # A lower tracked speed relaxes the competition
     # between progress and the separation/lane rows, letting the retry
     # converge and the hold streak break (measured, BENCH.md round 5).

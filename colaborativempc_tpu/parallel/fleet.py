@@ -26,7 +26,7 @@ from colaborativempc_tpu.geometry import Track
 from colaborativempc_tpu.planners.lpv import lpv_solve, LPVSolution
 from colaborativempc_tpu.runtime.simulate import (
     FleetState, StepMetrics, _apply_exec_beta, _per_agent_limits,
-    _sep_filter_beta, escalate_holds, hold_vx_scale,
+    _sep_filter_beta, escalate_holds, hold_vx_scale, lateral_wall,
 )
 
 
@@ -140,12 +140,21 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
             state.w, state.y, state.rho_scale, all_xy, all_hold, lanes,
             vxs)
 
+        jam_count = jnp.where(sol.feasible, 0, state.jam_count + 1)
         if cfg.hold_on_infeasible:
             # solver-failure containment, identical semantics to the
             # single-device step (runtime/simulate.py): an unconverged
-            # plan is not executed — shift-hold the previous one. Purely
-            # shard-local (per scenario x agent), no collectives.
+            # plan is not executed — shift-hold the previous one —
+            # until the degraded-execution escape (cfg.hold_exec_k)
+            # fires. Purely shard-local (per scenario x agent).
             ok = sol.feasible                          # (S_l, A_l)
+            degraded = jnp.zeros_like(ok)
+            if cfg.hold_exec_k is not None:
+                finite = (jnp.all(jnp.isfinite(sol.x_pred), axis=(2, 3))
+                          & jnp.all(jnp.isfinite(sol.u_pred), axis=(2, 3)))
+                degraded = ((~ok) & finite
+                            & (state.jam_count >= cfg.hold_exec_k))
+                ok = ok | degraded
             ok4 = ok[:, :, None, None]
             hold_x = jnp.concatenate(
                 [state.x_pred[:, :, 1:], state.x_pred[:, :, -1:]], axis=2)
@@ -157,18 +166,23 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
             y = jnp.where(ok4, sol.y, state.y)
             rho_scale = jnp.where(ok[:, :, None], sol.rho_scale,
                                   state.rho_scale)
-            hold_count = jnp.where(ok, 0, state.hold_count + 1)
+            hold_count = jnp.where(sol.feasible, 0, state.hold_count + 1)
         else:
             x_pred, u_pred = sol.x_pred, sol.u_pred
             w, y, rho_scale = sol.w, sol.y, sol.rho_scale
             hold_count = state.hold_count
+            degraded = jnp.zeros(sol.feasible.shape, bool)
 
         # executed-separation safety filter: betas need full-fleet pairwise
         # geometry, so the standstill anchors and executed candidates ride
         # one extra (tiny) all_gather; the projection itself is applied
         # shard-locally to this shard's agents. Identical semantics to the
-        # single-device step (runtime/simulate.py separation_filter).
-        cand_local = x_pred[:, :, 1, :]
+        # single-device step (runtime/simulate.py): the physical
+        # execution envelope (kinematic bounds + track-limits wall,
+        # shard-local), then the separation filter on the enveloped
+        # candidates.
+        cand_local, wall_clip = lateral_wall(track, cfg, state.x0,
+                                             x_pred[:, :, 1, :], lanes)
         if cfg.exec_sep_frac is not None:
             anchors = jax.lax.all_gather(
                 state.x0, agent_axis, axis=1, tiled=True)   # (S_l, n_ag, 9)
@@ -198,7 +212,8 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
             x_pred=x_pred, u_pred=u_pred,
             u_old=u_pred[:, :, 0, :],
             w=w, y=y, rho_scale=rho_scale,
-            lane=lanes, hold_count=hold_count, brake_count=brake_count)
+            lane=lanes, hold_count=hold_count, brake_count=brake_count,
+            jam_count=jam_count)
 
         # fleet-wide min pairwise distance per scenario: reduce over agents
         all_xy_new = jax.lax.all_gather(
@@ -226,7 +241,7 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
             r_prim=sol.r_prim, min_dist=min_dist,
             min_dist_exec=min_dist_exec,
             slack_max=jnp.max(jnp.abs(sol.s_pred), axis=(2, 3)),
-            exec_beta=beta_local)
+            exec_beta=beta_local, wall_clip=wall_clip)
         return new_state, metrics
 
     state_spec = FleetState(
@@ -236,7 +251,8 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
         rho_scale=P(scen_axis, agent_axis),
         lane=P(scen_axis, agent_axis),
         hold_count=P(scen_axis, agent_axis),
-        brake_count=P(scen_axis, agent_axis))
+        brake_count=P(scen_axis, agent_axis),
+        jam_count=P(scen_axis, agent_axis))
     metrics_spec = StepMetrics(
         feasible=P(scen_axis, agent_axis),
         iterations=P(scen_axis, agent_axis),
@@ -244,7 +260,8 @@ def _sharded_lpv_parts(track: Track, cfg: ExperimentConfig,
         min_dist=P(scen_axis),
         min_dist_exec=P(scen_axis),
         slack_max=P(scen_axis, agent_axis),
-        exec_beta=P(scen_axis, agent_axis))
+        exec_beta=P(scen_axis, agent_axis),
+        wall_clip=P(scen_axis, agent_axis))
     return local_step, state_spec, metrics_spec
 
 

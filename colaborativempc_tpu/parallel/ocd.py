@@ -30,6 +30,7 @@ from colaborativempc_tpu.runtime.ocd import (
 )
 from colaborativempc_tpu.runtime.simulate import (
     _apply_exec_beta, _per_agent_limits, _sep_filter_beta, escalate_holds,
+    lateral_wall,
 )
 
 
@@ -284,8 +285,18 @@ def _sharded_ocd_parts(track: Track, cfg: ExperimentConfig,
         # duals keep their updated values, ADMM warm state keeps its
         # pre-failure values, the failed agent follows its previous plan
         # one more stage). Purely shard-local, no collectives.
+        jam_count = jnp.where(out.feasible, 0, state.jam_count + 1)
         if cfg.hold_on_infeasible:
+            # degraded-execution escape after hold_exec_k consecutive
+            # infeasible solves (runtime/simulate.py rationale)
             ok = out.feasible                                 # (S_l, A_l)
+            degraded = jnp.zeros_like(ok)
+            if cfg.hold_exec_k is not None:
+                finite = (jnp.all(jnp.isfinite(out.x_pred), axis=(2, 3))
+                          & jnp.all(jnp.isfinite(out.u_pred), axis=(2, 3)))
+                degraded = ((~ok) & finite
+                            & (state.jam_count >= cfg.hold_exec_k))
+                ok = ok | degraded
             ok4 = ok[..., None, None]
             hold_x = jnp.concatenate(
                 [state.x_pred[:, :, 1:], state.x_pred[:, :, -1:]], axis=2)
@@ -297,16 +308,19 @@ def _sharded_ocd_parts(track: Track, cfg: ExperimentConfig,
             y_fin = jnp.where(ok4, out.y, state.y)
             rs_fin = jnp.where(ok[..., None], out.rho_scale,
                                state.rho_scale)
-            hold_count = jnp.where(ok, 0, state.hold_count + 1)
+            hold_count = jnp.where(out.feasible, 0,
+                                   state.hold_count + 1)
         else:
             x_fin, u_fin = out.x_pred, out.u_pred
             w_fin, y_fin, rs_fin = out.w, out.y, out.rho_scale
             hold_count = state.hold_count
 
-        # executed-separation safety filter — full-fleet betas from one
-        # tiny gather, applied shard-locally; identical semantics to
-        # runtime/ocd.py finalize (runtime/simulate.py separation_filter)
-        cand_local = x_fin[:, :, 1, :]
+        # physical execution envelope (kinematic bounds + track-limits
+        # wall, shard-local), then the executed-separation safety
+        # filter — full-fleet betas from one tiny gather, applied
+        # shard-locally; identical semantics to runtime/ocd.py finalize
+        cand_local, wall_clip = lateral_wall(track, cfg, state.x0,
+                                             x_fin[:, :, 1, :], lanes)
         if cfg.exec_sep_frac is not None:
             anchors = jax.lax.all_gather(
                 state.x0, agent_axis, axis=1, tiled=True)  # (S_l, n_ag, 9)
@@ -341,7 +355,7 @@ def _sharded_ocd_parts(track: Track, cfg: ExperimentConfig,
             lambdas=out.lambdas, w=w_fin, y=y_fin,
             rho_scale=rs_fin,
             lane=state.lane, hold_count=hold_count,
-            brake_count=brake_count)
+            brake_count=brake_count, jam_count=jam_count)
 
         dd = exec_xy[:, :, None, :] - exec_xy[:, None, :, :]
         de = jnp.sqrt(jnp.sum(dd * dd, axis=-1) + 1e-12)
@@ -361,7 +375,7 @@ def _sharded_ocd_parts(track: Track, cfg: ExperimentConfig,
             min_dist=min_pd, min_dist_exec=min_de,
             lambda_max=jax.lax.pmax(
                 jnp.max(jnp.abs(out.lambdas), axis=(1, 2, 3)), agent_axis),
-            exec_beta=beta_local)
+            exec_beta=beta_local, wall_clip=wall_clip)
         return new_state, metrics
 
     state_spec = OCDFleetState(
@@ -372,13 +386,15 @@ def _sharded_ocd_parts(track: Track, cfg: ExperimentConfig,
         rho_scale=P(scen_axis, agent_axis),
         lane=P(scen_axis, agent_axis),
         hold_count=P(scen_axis, agent_axis),
-        brake_count=P(scen_axis, agent_axis))
+        brake_count=P(scen_axis, agent_axis),
+        jam_count=P(scen_axis, agent_axis))
     metrics_spec = OCDStepMetrics(
         ocd_iterations=P(scen_axis),
         feasible=P(scen_axis, agent_axis),
         min_dist=P(scen_axis), min_dist_exec=P(scen_axis),
         lambda_max=P(scen_axis),
-        exec_beta=P(scen_axis, agent_axis))
+        exec_beta=P(scen_axis, agent_axis),
+        wall_clip=P(scen_axis, agent_axis))
     return local_step, state_spec, metrics_spec
 
 
@@ -442,7 +458,8 @@ def place_ocd_batch(batched: OCDFleetState, mesh: Mesh,
         rho_scale=P(scen_axis, agent_axis),
         lane=P(scen_axis, agent_axis),
         hold_count=P(scen_axis, agent_axis),
-        brake_count=P(scen_axis, agent_axis))
+        brake_count=P(scen_axis, agent_axis),
+        jam_count=P(scen_axis, agent_axis))
     return jax.tree.map(put, batched, specs)
 
 

@@ -88,7 +88,7 @@ def run_lpv_battery(cfg: ExperimentConfig, grid: Sequence[Gains],
             u_old=sol.u_pred[:, 0, :], w=sol.w, y=sol.y,
             rho_scale=sol.rho_scale,
             lane=state.lane, hold_count=state.hold_count,
-            brake_count=state.brake_count)
+            brake_count=state.brake_count, jam_count=state.jam_count)
         pe = sol.x_pred[:, 1, 7:9]
         de = jnp.sqrt(jnp.sum((pe[:, None] - pe[None, :]) ** 2, axis=-1)
                       + 1e-12) + jnp.eye(pe.shape[0]) * 1e9

@@ -48,6 +48,9 @@ class OCDFleetState(NamedTuple):
     #   brakings (simulate.FleetState.brake_count; carried for parity and
     #   observability — the NL stressed studies complete with ~zero holds
     #   so the vx ramp is not wired into the OCD solve)
+    jam_count: jnp.ndarray    # (n_ag,) int32 consecutive infeasible
+    #   solves (simulate.FleetState.jam_count; drives the
+    #   degraded-execution escape, cfg.hold_exec_k)
 
 
 class _OCDLoopState(NamedTuple):
@@ -123,6 +126,7 @@ class OCDStepMetrics(NamedTuple):
     lambda_max: jnp.ndarray      # max |lambda|
     exec_beta: jnp.ndarray       # (n_ag,) separation-filter advance
     #                              fraction (1.0 = inactive)
+    wall_clip: jnp.ndarray       # (n_ag,) track-limits wall clamps
 
 
 def _contain_nonfinite(st: _OCDLoopState, sol):
@@ -374,8 +378,18 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
         # which the full-course study showed compounds to fleet deadlock/
         # divergence at long horizons (BENCH.md). Identity on feasible
         # steps (equality-tested).
+        jam_count = jnp.where(out.feasible, 0, state.jam_count + 1)
         if cfg.hold_on_infeasible:
+            # degraded-execution escape after hold_exec_k consecutive
+            # infeasible solves (runtime/simulate.py rationale)
             ok = out.feasible
+            degraded = jnp.zeros_like(ok)
+            if cfg.hold_exec_k is not None:
+                finite = (jnp.all(jnp.isfinite(out.x_pred), axis=(1, 2))
+                          & jnp.all(jnp.isfinite(out.u_pred), axis=(1, 2)))
+                degraded = ((~ok) & finite
+                            & (state.jam_count >= cfg.hold_exec_k))
+                ok = ok | degraded
             ok3 = ok[:, None, None]
             hold_x = jnp.concatenate(
                 [state.x_pred[:, 1:], state.x_pred[:, -1:]], axis=1)
@@ -386,18 +400,22 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
             w_fin = jnp.where(ok3, out.w, state.w)
             y_fin = jnp.where(ok3, out.y, state.y)
             rs_fin = jnp.where(ok[:, None], out.rho_scale, state.rho_scale)
-            hold_count = jnp.where(ok, 0, state.hold_count + 1)
+            hold_count = jnp.where(out.feasible, 0, state.hold_count + 1)
         else:
             x_fin, u_fin = out.x_pred, out.u_pred
             w_fin, y_fin, rs_fin = out.w, out.y, out.rho_scale
             hold_count = state.hold_count
 
-        # executed-separation safety filter (runtime/simulate.py): the
-        # applied x0-shift is projected so no pair crosses the hard floor;
+        # physical execution envelope (kinematic bounds + track-limits
+        # wall), then the executed-separation safety filter
+        # (runtime/simulate.py): the applied x0-shift is projected so no
+        # pair crosses the hard floor and no agent leaves the envelope;
         # the shifted plan stays the linearisation
-        from colaborativempc_tpu.runtime.simulate import separation_filter
-        x0_exec, exec_beta = separation_filter(cfg, state.x0,
-                                               x_fin[:, 1, :])
+        from colaborativempc_tpu.runtime.simulate import (
+            lateral_wall, separation_filter)
+        x0_cand, wall_clip = lateral_wall(track, cfg, state.x0,
+                                          x_fin[:, 1, :], state.lane)
+        x0_exec, exec_beta = separation_filter(cfg, state.x0, x0_cand)
         brake_count = jnp.where(exec_beta < 1.0, state.brake_count + 1,
                                 jnp.zeros_like(state.brake_count))
 
@@ -412,7 +430,7 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
             lambdas=out.lambdas, w=w_fin, y=y_fin,
             rho_scale=rs_fin,
             lane=state.lane, hold_count=hold_count,
-            brake_count=brake_count)
+            brake_count=brake_count, jam_count=jam_count)
 
         p = x_fin[:, 1:, 7:9]
         diff = p[:, None] - p[None, :]
@@ -427,7 +445,7 @@ def _build_ocd_core(track: Track, cfg: ExperimentConfig):
             min_dist=jnp.min(dist),
             min_dist_exec=jnp.min(de),
             lambda_max=jnp.max(jnp.abs(out.lambdas)),
-            exec_beta=exec_beta)
+            exec_beta=exec_beta, wall_clip=wall_clip)
         return new_state, metrics
 
     return prepare, ocd_iteration, loop_init, cond, finalize
@@ -577,7 +595,8 @@ def init_nl_fleet(track: Track, cfg: ExperimentConfig,
         rho_scale=jnp.ones((cfg.n_agents, m), dtype),
         lane=jnp.full((cfg.n_agents,), cfg.lane, jnp.int32),
         hold_count=jnp.zeros((cfg.n_agents,), jnp.int32),
-        brake_count=jnp.zeros((cfg.n_agents,), jnp.int32))
+        brake_count=jnp.zeros((cfg.n_agents,), jnp.int32),
+        jam_count=jnp.zeros((cfg.n_agents,), jnp.int32))
 
 
 class NLExperimentResult(NamedTuple):
@@ -593,6 +612,8 @@ class NLExperimentResult(NamedTuple):
     finished: bool
     exec_beta: np.ndarray = np.ones((0, 0))  # (T, n_ag) separation-filter
     #                          advance fractions (1.0 = filter inactive)
+    wall_clip: np.ndarray = np.zeros((0, 0), bool)  # (T, n_ag) lateral
+    #                          wall clamps
 
 
 def run_nl_experiment(cfg: ExperimentConfig,
@@ -645,7 +666,7 @@ def run_nl_experiment(cfg: ExperimentConfig,
         step = make_nl_ocd_step(track, cfg)
 
     hist = {k: [] for k in ("states", "inputs", "feas", "dist", "dist_e",
-                            "ocd_it", "times", "beta")}
+                            "ocd_it", "times", "beta", "wall")}
     finished = False
     while it < cfg.max_it:
         t0 = time.time()
@@ -668,6 +689,7 @@ def run_nl_experiment(cfg: ExperimentConfig,
         hist["dist_e"].append(float(metrics.min_dist_exec))
         hist["ocd_it"].append(int(metrics.ocd_iterations))
         hist["beta"].append(np.asarray(metrics.exec_beta))
+        hist["wall"].append(np.asarray(metrics.wall_clip))
         if io is not None:
             io.update(it, state, metrics, hist["times"][-1])
         # reference NL semantics: continue on degraded/partial solves,
@@ -694,4 +716,5 @@ def run_nl_experiment(cfg: ExperimentConfig,
         step_times=np.asarray(hist["times"]),
         lambdas=np.asarray(state.lambdas),
         steps=len(hist["states"]), finished=finished,
-        exec_beta=np.asarray(hist["beta"]))
+        exec_beta=np.asarray(hist["beta"]),
+        wall_clip=np.asarray(hist["wall"]))

@@ -44,6 +44,10 @@ class FleetState(NamedTuple):
     #   solve is FEASIBLE, so hold_count never sees it — without this
     #   counter a filter-braked cluster is a fixed point the planner can
     #   park in, replanning the same closing step forever; BENCH.md r5)
+    jam_count: jnp.ndarray    # (n_ag,) int32 consecutive infeasible
+    #   solves, NEVER reset by the escalation ladder (hold_count cycles
+    #   0..hold_cold_k because the cold rung zeroes it) — drives the
+    #   degraded-execution escape (cfg.hold_exec_k)
 
 
 class StepMetrics(NamedTuple):
@@ -55,6 +59,8 @@ class StepMetrics(NamedTuple):
     slack_max: jnp.ndarray    # (n_ag,) max slack magnitude
     exec_beta: jnp.ndarray    # (n_ag,) separation-filter advance fraction
     #                           (1.0 = filter inactive, plan executed as-is)
+    wall_clip: jnp.ndarray    # (n_ag,) track-limits wall clamped this
+    #                           agent's executed lateral offset
 
 
 def _neighbour_index(n_agents: int) -> np.ndarray:
@@ -253,29 +259,106 @@ def separation_filter(cfg: ExperimentConfig, x_cur: jnp.ndarray,
     return _apply_exec_beta(x_cur, x_cand, beta), beta
 
 
+def lateral_wall(track: Track, cfg: ExperimentConfig, x_cur: jnp.ndarray,
+                 x_cand: jnp.ndarray, lanes: jnp.ndarray):
+    """Physical execution envelope on the executed stage
+    (``cfg.exec_ey_wall``): every applied x0-shift must be KINEMATICALLY
+    REACHABLE from where the agent actually stands.
+
+    Under the prediction-is-plant convention the plan's first stage IS
+    the plant step, so a garbage plan teleports the agent — and a
+    garbage LINEARISATION can produce garbage plans that the QP solves
+    "feasibly" (converged on a meaningless problem). Both round-5
+    canonical-course failure modes came through this door: an executed
+    stage beyond the Frenet chart's validity (|ey| > 1/kappa) stranded
+    an agent meters off the track, and a feasible-garbage spiral flew
+    another to s ~ +9900 (BENCH.md). The envelope bounds, per agent:
+
+    - arc advance: Delta-s in [-max_vel*dt, 2*max_vel*dt];
+    - lateral offset: |ey| <= max(wall * halfwidth(s), current |ey|) —
+      the track-limits wall proper (outward past the wall is blocked,
+      inward recovery never is; monotone non-worsening like the
+      separation filter);
+    - velocities: vx in [min_vel, max_vel], |vy| <= max_vel,
+      |wz| <= 4*pi;
+    - heading error: epsi wrapped into [-pi, pi] (only when outside);
+    - (X, Y): REBUILT from the clamped Frenet pose whenever s or ey
+      clamped (Frenet is the source of truth).
+
+    Callers apply this BEFORE the separation filter, whose lerp then
+    interpolates between the current and enveloped states — the floor,
+    the wall and the kinematic bounds all hold on the final executed
+    states. Bit-identical whenever the candidate is already inside the
+    envelope (every healthy step). Returns ``(x_exec, clamped)``.
+    """
+    if cfg.exec_ey_wall is None:
+        return x_cand, jnp.zeros(x_cand.shape[:-1], bool)
+    from colaborativempc_tpu.geometry import (
+        frenet_to_cartesian, halfwidth, wrap_to_pi,
+    )
+    lim = cfg.limits
+    max_v = jnp.max(jnp.asarray(lim.max_vel))
+    min_v = jnp.min(jnp.asarray(lim.min_vel))
+
+    def one(xc, xe, ln):
+        dt = jnp.asarray(cfg.dt, xe.dtype)
+        ds = jnp.clip(xe[6] - xc[6], -max_v * dt, 2.0 * max_v * dt)
+        s_new = xc[6] + ds
+        hw = halfwidth(track, s_new, ln)
+        bound = jnp.maximum(
+            hw * jnp.asarray(cfg.exec_ey_wall, xe.dtype), jnp.abs(xc[3]))
+        ey_new = jnp.clip(xe[3], -bound, bound)
+        pose_moved = (ey_new != xe[3]) | (s_new != xe[6])
+        px, py, _ = frenet_to_cartesian(track, s_new, ey_new, ln)
+        xe2 = xe.at[3].set(ey_new).at[6].set(s_new)
+        xe2 = jnp.where(pose_moved,
+                        xe2.at[7].set(px).at[8].set(py), xe2)
+        vx_c = jnp.clip(xe[0], min_v, max_v)
+        vy_c = jnp.clip(xe[1], -max_v, max_v)
+        wz_c = jnp.clip(xe[2], -4.0 * jnp.pi, 4.0 * jnp.pi)
+        ep_c = jnp.where(jnp.abs(xe[4]) > jnp.pi, wrap_to_pi(xe[4]),
+                         xe[4])
+        xe2 = (xe2.at[0].set(vx_c).at[1].set(vy_c).at[2].set(wz_c)
+               .at[4].set(ep_c))
+        clamped = (pose_moved | (vx_c != xe[0]) | (vy_c != xe[1])
+                   | (wz_c != xe[2]) | (ep_c != xe[4]))
+        return jnp.where(clamped, xe2, xe), clamped
+
+    for _ in range(x_cand.ndim - 2):
+        one = jax.vmap(one)
+    return jax.vmap(one)(x_cur, x_cand, lanes)
+
+
 def hold_vx_scale(cfg: ExperimentConfig, count, dtype=jnp.float32):
     """Recovery feasibility pass (``cfg.hold_vx_frac``): per-agent
-    vx_ref multipliers that ramp each agent's tracked speed down with
-    its consecutive hold-or-brake count, so a jammed retry competes
-    less with the separation/lane rows — full vx_ref at count=0,
-    ``hold_vx_frac`` of it at the ``hold_reset_k`` rung and beyond.
-    The clamp at ONE notch is measured: a deeper min(c,2k)/k decay to
-    frac^2 (0.36 vx_ref) made the round-5 seq stressed starts WORSE
-    (8/8 -> 6/8, worst-start holds 245 -> 393) — crawling prolongs the
-    fleet's exposure to the congestion window instead of resolving it.
+    vx_ref multipliers — exactly 1.0 below the ``hold_reset_k`` rung,
+    ``hold_vx_frac`` at the rung and beyond — so a PERSISTENTLY jammed
+    retry competes less with the separation/lane rows while transient
+    1-2-step holds retry at full speed.
+
+    Shape rationale (round-5 campaign, BENCH.md): the binary rung keeps
+    transient holds — which the canonical courses' hard window produces
+    and recovers from at full speed — entirely outside the pass, while
+    engaging it exactly where the measured win lives (the round-4
+    348/550-held parking, where counts sit at the rung for hundreds of
+    steps, drops to single digits). A deeper decay to frac^2 beyond
+    the rung measured WORSE (8/8 -> 6/8 stressed completion, worst
+    start 245 -> 393 held steps): crawling prolongs the fleet's
+    exposure to the congestion window instead of resolving it.
+
     ``count`` is max(hold_count, brake_count) PRE-escalation: a freshly
     cold-re-initialised agent (whose counter escalate_holds just
     zeroed) still retries its brand-new warm start at the reduced
     target, and separation-filter braking — whose solves are feasible
-    and therefore invisible to hold_count — drives the same ramp.
+    and therefore invisible to hold_count — drives the same pass.
     Shape follows ``count`` (works batched/sharded). Exactly 1.0 when
-    disabled or while an agent is neither holding nor braked."""
+    disabled or while an agent is below the rung."""
     if not cfg.hold_on_infeasible or cfg.hold_vx_frac is None:
         return jnp.ones(count.shape, dtype)
-    k = float(max(cfg.hold_reset_k if cfg.hold_reset_k is not None else 3,
-                  1))
-    hc = jnp.minimum(count.astype(dtype), k)
-    return jnp.asarray(cfg.hold_vx_frac, dtype) ** (hc / k)
+    k = cfg.hold_reset_k if cfg.hold_reset_k is not None else 3
+    return jnp.where(count >= k,
+                     jnp.asarray(cfg.hold_vx_frac, dtype),
+                     jnp.ones(count.shape, dtype))
 
 
 def escalate_holds(track: Track, cfg: ExperimentConfig, state, lanes):
@@ -439,6 +522,7 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
             state.u_old, state.w, state.y, state.rho_scale, neigh,
             neigh_boost)
 
+        jam_count = jnp.where(sol.feasible, 0, state.jam_count + 1)
         if cfg.hold_on_infeasible:
             # Solver-failure containment, the per-step analogue of what
             # every reference planner does on solver failure (MPCC guess
@@ -452,7 +536,20 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
             # solve in the Highway curve congestion executes garbage,
             # degrades the next linearisation, and the fleet deadlocks or
             # diverges (full-course study, BENCH.md).
+            # Degraded-execution escape (cfg.hold_exec_k): once the last
+            # hold_exec_k solves ALL failed, holding has demonstrably
+            # stopped helping — execute the unconverged plan, but ONLY
+            # finite ones and ONLY through the sanitize_exec physical
+            # envelope + the safety filters (raw degraded execution
+            # NaN-diverged within a step, BENCH.md round 5).
             ok = sol.feasible
+            degraded = jnp.zeros_like(ok)
+            if cfg.hold_exec_k is not None:
+                finite = (jnp.all(jnp.isfinite(sol.x_pred), axis=(1, 2))
+                          & jnp.all(jnp.isfinite(sol.u_pred), axis=(1, 2)))
+                degraded = ((~ok) & finite
+                            & (state.jam_count >= cfg.hold_exec_k))
+                ok = ok | degraded
             ok3 = ok[:, None, None]
             hold_x = jnp.concatenate(
                 [state.x_pred[:, 1:], state.x_pred[:, -1:]], axis=1)
@@ -464,17 +561,23 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
             y = jnp.where(ok3, sol.y, state.y)
             rho_scale = jnp.where(ok[:, None], sol.rho_scale,
                                   state.rho_scale)
-            hold_count = jnp.where(ok, 0, state.hold_count + 1)
+            # hold_count tracks SOLVER feasibility (the ladder's input),
+            # not the execution override — degraded-execution steps keep
+            # escalating and keep the vx pass engaged
+            hold_count = jnp.where(sol.feasible, 0, state.hold_count + 1)
         else:
             x_pred, u_pred = sol.x_pred, sol.u_pred
             w, y, rho_scale = sol.w, sol.y, sol.rho_scale
             hold_count = state.hold_count
+            degraded = jnp.zeros(sol.feasible.shape, bool)
 
-        # executed-separation safety filter (prediction = plant: the
-        # applied x0-shift itself is projected; the plan stays the
-        # linearisation exactly as under plan-holding)
-        x0_exec, exec_beta = separation_filter(cfg, state.x0,
-                                               x_pred[:, 1, :])
+        # physical execution envelope (kinematic bounds + track-limits
+        # wall), then the executed-separation safety filter (prediction
+        # = plant: the applied x0-shift itself is projected; the plan
+        # stays the linearisation exactly as under plan-holding)
+        x0_cand, wall_clip = lateral_wall(track, cfg, state.x0,
+                                          x_pred[:, 1, :], lanes)
+        x0_exec, exec_beta = separation_filter(cfg, state.x0, x0_cand)
         brake_count = jnp.where(exec_beta < 1.0, state.brake_count + 1,
                                 jnp.zeros_like(state.brake_count))
         new_state = FleetState(
@@ -482,7 +585,8 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
             x_pred=x_pred, u_pred=u_pred,
             u_old=u_pred[:, 0, :],
             w=w, y=y, rho_scale=rho_scale,
-            lane=lanes, hold_count=hold_count, brake_count=brake_count)
+            lane=lanes, hold_count=hold_count, brake_count=brake_count,
+            jam_count=jam_count)
         exec_xy = x0_exec[:, 7:9]                     # applied next states
         dd = exec_xy[:, None, :] - exec_xy[None, :, :]
         dexec = jnp.sqrt(jnp.sum(dd * dd, axis=-1) + 1e-12)
@@ -494,7 +598,7 @@ def make_lpv_fleet_step(track: Track, cfg: ExperimentConfig):
                 jnp.swapaxes(x_pred[:, :, 7:9], 0, 1)),
             min_dist_exec=jnp.min(dexec),
             slack_max=jnp.max(jnp.abs(sol.s_pred), axis=(1, 2)),
-            exec_beta=exec_beta)
+            exec_beta=exec_beta, wall_clip=wall_clip)
         return new_state, metrics
 
     return jax.jit(step)
@@ -546,7 +650,8 @@ def init_lpv_fleet(track: Track, cfg: ExperimentConfig,
         rho_scale=jnp.ones((cfg.n_agents, m), dtype),
         lane=jnp.full((cfg.n_agents,), cfg.lane, jnp.int32),
         hold_count=jnp.zeros((cfg.n_agents,), jnp.int32),
-        brake_count=jnp.zeros((cfg.n_agents,), jnp.int32))
+        brake_count=jnp.zeros((cfg.n_agents,), jnp.int32),
+        jam_count=jnp.zeros((cfg.n_agents,), jnp.int32))
 
 
 class ExperimentResult(NamedTuple):
@@ -561,6 +666,8 @@ class ExperimentResult(NamedTuple):
     finished: bool          # lap completed (vs max_it exhausted)
     exec_beta: np.ndarray = np.ones((0, 0))  # (T, n_ag) separation-filter
     #                          advance fractions (1.0 = filter inactive)
+    wall_clip: np.ndarray = np.zeros((0, 0), bool)  # (T, n_ag) lateral
+    #                          wall clamps
 
 
 def resolve_single_fleet_schedule(cfg: ExperimentConfig) -> ExperimentConfig:
@@ -636,7 +743,7 @@ def run_lpv_experiment(cfg: ExperimentConfig,
         jax.profiler.start_trace(profile_dir)
 
     states, inputs, feas_h, dist_h, times, iters_h = [], [], [], [], [], []
-    dist_exec_h, beta_h = [], []
+    dist_exec_h, beta_h, wall_h = [], [], []
     finished = False
     while it < cfg.max_it:
         t0 = time.time()
@@ -650,6 +757,7 @@ def run_lpv_experiment(cfg: ExperimentConfig,
         dist_h.append(float(metrics.min_dist))
         dist_exec_h.append(float(metrics.min_dist_exec))
         beta_h.append(np.asarray(metrics.exec_beta))
+        wall_h.append(np.asarray(metrics.wall_clip))
         iters_h.append(np.asarray(metrics.iterations))
         if io is not None:
             io.update(it, state, metrics, times[-1])
@@ -686,4 +794,4 @@ def run_lpv_experiment(cfg: ExperimentConfig,
         min_dist_exec=np.asarray(dist_exec_h),
         step_times=np.asarray(times), iterations=np.asarray(iters_h),
         steps=len(states), finished=finished,
-        exec_beta=np.asarray(beta_h))
+        exec_beta=np.asarray(beta_h), wall_clip=np.asarray(wall_h))

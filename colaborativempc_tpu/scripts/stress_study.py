@@ -114,6 +114,10 @@ def _report(name, cfg, res, t_wall):
         "filter_steps": int((beta < 1.0).any(axis=1).sum())
         if beta.size else 0,
         "min_beta": round(float(beta.min()), 3) if beta.size else 1.0,
+        "wall_steps": int(np.asarray(
+            getattr(res, "wall_clip", np.zeros((0, 0)))).any(axis=1).sum())
+        if np.asarray(getattr(res, "wall_clip", np.zeros((0, 0)))).size
+        else 0,
     }
     if iters is not None and np.asarray(iters).size:
         it_arr = np.asarray(iters, float)
@@ -230,6 +234,9 @@ def perturbed_batched(args, cfg):
         "max_abs_ey": [round(float(e), 2) for e in np.where(
             alive[:, :, None], np.abs(np.asarray(x0h[..., 3])), 0.0)
             .max(axis=(1, 2))],
+        "wall_steps": np.asarray(
+            np.asarray(m.wall_clip).any(axis=2) & alive).sum(axis=1)
+            .tolist(),
         "wall_s": round(t_wall, 1),
     }
     print(json.dumps(out))

@@ -110,4 +110,51 @@ inline void sep_filter_betas(int n, const double* p0, const double* p1,
     }
 }
 
+// Physical execution envelope on one executed state row (float64 twin
+// of runtime/simulate.py lateral_wall): the applied x0-shift must be
+// kinematically reachable — arc advance bounded, |ey| clamped to
+// max(wall_frac * halfwidth(s), current |ey|) (outward past the wall
+// blocked, inward recovery never), velocities clamped to the limits,
+// epsi wrapped, (X, Y) rebuilt from the clamped Frenet pose. Apply
+// BEFORE sep_filter_betas, as in the JAX ordering. Returns whether it
+// clamped anything.
+template <typename TrackT>
+inline bool lateral_wall_exec(const TrackT& trk, double wall_frac,
+                              const double* x_cur, double* x_exec,
+                              double dt = 0.025, double max_vel = 5.5,
+                              double min_vel = 0.0) {
+  bool clamped = false;
+  const double ds_raw = x_exec[6] - x_cur[6];
+  const double ds = std::min(std::max(ds_raw, -max_vel * dt),
+                             2.0 * max_vel * dt);
+  const double s_new = x_cur[6] + ds;
+  const double hw = trk.halfwidth(s_new);
+  const double bound = std::max(hw * wall_frac, std::fabs(x_cur[3]));
+  const double ey_new = std::min(std::max(x_exec[3], -bound), bound);
+  if (ey_new != x_exec[3] || s_new != x_exec[6]) {
+    double X, Y, th;
+    trk.global_position(s_new, ey_new, &X, &Y, &th);
+    x_exec[3] = ey_new;
+    x_exec[6] = s_new;
+    x_exec[7] = X;
+    x_exec[8] = Y;
+    clamped = true;
+  }
+  const double vx = std::min(std::max(x_exec[0], min_vel), max_vel);
+  const double vy = std::min(std::max(x_exec[1], -max_vel), max_vel);
+  const double wz = std::min(std::max(x_exec[2], -4.0 * M_PI),
+                             4.0 * M_PI);
+  if (vx != x_exec[0] || vy != x_exec[1] || wz != x_exec[2]) {
+    x_exec[0] = vx;
+    x_exec[1] = vy;
+    x_exec[2] = wz;
+    clamped = true;
+  }
+  if (std::fabs(x_exec[4]) > M_PI) {
+    x_exec[4] = std::remainder(x_exec[4], 2.0 * M_PI);
+    clamped = true;
+  }
+  return clamped;
+}
+
 }  // namespace cmpc

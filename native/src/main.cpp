@@ -158,16 +158,22 @@ static int run_nl_ocd(const Track& trk, int n_agents, int N, int steps,
     }
     total_ocd += it_ocd;
 
-    // executed-separation safety filter on the applied x0-shift
-    // (runtime/simulate.py separation_filter; include/cmpc/safety.h)
+    // track-limits wall, then the executed-separation safety filter on
+    // the applied x0-shift (runtime/simulate.py ordering;
+    // include/cmpc/safety.h)
+    for (int a = 0; a < n_agents; ++a) {
+      std::memcpy(x0_exec_nl[a].data(), &x_pred[a][NX],
+                  NX * sizeof(double));
+      lateral_wall_exec(trk, 2.0, x0[a].data(), x0_exec_nl[a].data(), dt);
+    }
     if (n_agents > 1) {
       std::vector<double> p0(2 * n_agents), p1(2 * n_agents);
       std::vector<double> prio(n_agents), beta(n_agents);
       for (int a = 0; a < n_agents; ++a) {
         p0[2 * a] = x0[a][7];
         p0[2 * a + 1] = x0[a][8];
-        p1[2 * a] = x_pred[a][NX + 7];
-        p1[2 * a + 1] = x_pred[a][NX + 8];
+        p1[2 * a] = x0_exec_nl[a][7];
+        p1[2 * a + 1] = x0_exec_nl[a][8];
         prio[a] = x0[a][6];
       }
       sep_filter_betas(n_agents, p0.data(), p1.data(), prio.data(),
@@ -176,17 +182,11 @@ static int run_nl_ocd(const Track& trk, int n_agents, int N, int steps,
         if (beta[a] < 1.0) {
           for (int i = 0; i < NX; ++i)
             x0_exec_nl[a][i] = x0[a][i]
-                + beta[a] * (x_pred[a][NX + i] - x0[a][i]);
+                + beta[a] * (x0_exec_nl[a][i] - x0[a][i]);
           // truthful brake: realized speed ~ beta * planned speed
           // (runtime/simulate.py _apply_exec_beta)
           for (int i = 0; i < 3; ++i) x0_exec_nl[a][i] *= beta[a];
-        } else {
-          std::memcpy(x0_exec_nl[a].data(), &x_pred[a][NX],
-                      NX * sizeof(double));
         }
-    } else {
-      std::memcpy(x0_exec_nl[0].data(), &x_pred[0][NX],
-                  NX * sizeof(double));
     }
 
     // control-step shift (NL_EU_N_main.py:170-172)
@@ -373,8 +373,11 @@ int main(int argc, char** argv) {
       u_old[a][1] = u_pred[a][1];
     }
 
-    // executed-separation safety filter on the applied x0-shift
-    // (runtime/simulate.py separation_filter; include/cmpc/safety.h)
+    // track-limits wall, then the executed-separation safety filter on
+    // the applied x0-shift (runtime/simulate.py ordering;
+    // include/cmpc/safety.h)
+    for (int a = 0; a < n_agents; ++a)
+      lateral_wall_exec(trk, 2.0, x0_prev[a].data(), x0[a].data(), dt);
     if (n_agents > 1) {
       std::vector<double> p0(2 * n_agents), p1(2 * n_agents);
       std::vector<double> prio(n_agents), beta(n_agents);

@@ -113,7 +113,7 @@ specs = type(nl_state)(
     w=P("scen", "agent"), y=P("scen", "agent"),
     rho_scale=P("scen", "agent"),
     lane=P("scen", "agent"), hold_count=P("scen", "agent"),
-    brake_count=P("scen", "agent"))
+    brake_count=P("scen", "agent"), jam_count=P("scen", "agent"))
 nl_g = jax.tree.map(place_spec, nl_batched, specs)
 nl_new, nl_m = make_sharded_nl_ocd_step(track, cfg_nl, mesh)(nl_g)
 ref_nl_xp = np.asarray(nl_ref.x_pred)

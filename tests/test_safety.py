@@ -255,10 +255,10 @@ def test_hold_vx_scale_ramp():
     hc = jnp.asarray([0, 1, 3, 9], jnp.int32)
     s = np.asarray(hold_vx_scale(cfg, hc))
     assert s[0] == 1.0
-    assert 0.6 < s[1] < 1.0
-    assert abs(s[2] - 0.6) < 1e-6
-    assert abs(s[3] - 0.6) < 1e-6     # clamped at the reset rung (a
-    # deeper 2k decay measured WORSE: crawling prolongs congestion)
+    assert s[1] == 1.0                # transient holds retry full-speed
+    assert abs(s[2] - 0.6) < 1e-6     # the reset rung engages the pass
+    assert abs(s[3] - 0.6) < 1e-6     # and it clamps there (deeper
+    # decay and earlier ramps both measured worse, BENCH.md round 5)
     off = ExperimentConfig(hold_vx_frac=None, gains=lpv_gains())
     assert (np.asarray(hold_vx_scale(off, hc)) == 1.0).all()
 
@@ -345,3 +345,38 @@ def test_stressed_start_separation_regression():
                 break
             assert float(m.min_dist_exec) >= floor_here, (
                 trial, float(m.min_dist_exec))
+
+
+def test_lateral_wall_clamps_and_recovers():
+    """Track-limits wall: outward candidates clamp to wall*halfwidth
+    with XY recomputed from the Frenet truth; inward recovery and
+    already-outside non-worsening are never blocked; inactive = exact."""
+    import jax.numpy as jnp
+    from colaborativempc_tpu.geometry import frenet_to_cartesian, halfwidth
+    from colaborativempc_tpu.runtime.simulate import lateral_wall
+
+    cfg = ExperimentConfig(n_agents=3, gains=lpv_gains())   # wall 2.0
+    track = make_track("oval")
+    lanes = jnp.zeros(3, jnp.int32)
+    x_cur = jnp.zeros((3, 9), jnp.float32).at[:, 6].set(1.0)
+    x_cur = x_cur.at[0, 3].set(0.1).at[1, 3].set(1.5).at[2, 3].set(0.0)
+    cand = (x_cur.at[0, 3].set(5.0)     # bursts outward -> clamp
+                 .at[1, 3].set(1.2)     # outside, coming back -> free
+                 .at[2, 3].set(0.2))    # inside -> untouched
+    out, clamped = lateral_wall(track, cfg, x_cur, cand, lanes)
+    hw = float(halfwidth(track, 1.0, 0))
+    assert abs(float(out[0, 3]) - 2.0 * hw) < 1e-6 and bool(clamped[0])
+    px, py, _ = frenet_to_cartesian(track, 1.0, 2.0 * hw, 0)
+    assert abs(float(out[0, 7]) - float(px)) < 1e-5
+    assert abs(float(out[0, 8]) - float(py)) < 1e-5
+    assert abs(float(out[1, 3]) - 1.2) < 1e-6 and not bool(clamped[1])
+    assert not bool(clamped[2])
+    # inactive candidates pass through bit-identically
+    out2, c2 = lateral_wall(track, cfg, x_cur, x_cur, lanes)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(x_cur))
+    assert not np.asarray(c2).any()
+    # non-worsening: an already-outside agent may hold its offset but a
+    # further-outward candidate clamps AT that offset
+    cand3 = x_cur.at[1, 3].set(1.8)
+    out3, c3 = lateral_wall(track, cfg, x_cur, cand3, lanes)
+    assert abs(float(out3[1, 3]) - 1.5) < 1e-6 and bool(c3[1])
